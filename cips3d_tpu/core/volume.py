@@ -1,0 +1,217 @@
+"""Volume rendering and hierarchical importance sampling.
+
+Functional JAX counterparts of `exp/pigan/pigan_utils.py:164-273`
+(`sample_pdf`, `fancy_integration`) and
+`exp/dev/nerf_inr/models/generator_nerf_inr.py:538-598`
+(`get_fine_points_and_direction`).
+
+Everything is static-shaped and twice-differentiable where the reference needs
+it (the R1 path never goes through here, but G's backward does).  The
+coarse→fine resample is wrapped in `stop_gradient`, matching the reference's
+`@torch.no_grad()` + `.detach()`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def volume_render(
+    rgb_sigma: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    noise_key: Optional[jax.Array] = None,
+    noise_std: float = 0.5,
+    dim_rgb: int = 3,
+    last_back: bool = False,
+    white_back: bool = False,
+    clamp_mode: str = "relu",
+    fill_mode: Optional[str] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """NeRF alpha-compositing along rays (`pigan_utils.fancy_integration`,
+    `pigan_utils.py:212-273`).
+
+    Args:
+      rgb_sigma: (b, n, s, dim_rgb + 1) — per-sample feature + density.
+      z_vals:    (b, n, s, 1) — sorted sample depths.
+      noise_key: RNG key for density noise; None (or noise_std == 0) disables.
+      clamp_mode: 'relu' | 'softplus' density activation.
+      last_back:  dump residual transmittance into the last sample's weight.
+      white_back: composite onto white.
+      fill_mode:  None | 'debug' (paint low-occupancy pixels red) | 'weight'.
+
+    Returns:
+      rgb:     (b, n, dim_rgb)
+      depth:   (b, n, 1)
+      weights: (b, n, s, 1)
+    """
+    rgbs = rgb_sigma[..., :dim_rgb]
+    sigmas = rgb_sigma[..., dim_rgb:]
+
+    deltas = z_vals[:, :, 1:] - z_vals[:, :, :-1]
+    delta_inf = jnp.full_like(deltas[:, :, :1], 1e10)
+    deltas = jnp.concatenate([deltas, delta_inf], axis=-2)  # (b, n, s, 1)
+
+    if noise_key is not None and noise_std > 0:
+        sigmas = sigmas + jax.random.normal(noise_key, sigmas.shape, sigmas.dtype) * noise_std
+
+    if clamp_mode == "softplus":
+        density = jax.nn.softplus(sigmas)
+    elif clamp_mode == "relu":
+        density = jax.nn.relu(sigmas)
+    else:
+        raise ValueError(f"clamp_mode must be 'relu' or 'softplus', got {clamp_mode!r}")
+
+    alphas = 1.0 - jnp.exp(-deltas * density)  # (b, n, s, 1)
+    # Transmittance: T_i = prod_{j<i} (1 - alpha_j + 1e-10).
+    alphas_shifted = jnp.concatenate(
+        [jnp.ones_like(alphas[:, :, :1]), 1.0 - alphas + 1e-10], axis=-2
+    )
+    transmittance = jnp.cumprod(alphas_shifted, axis=-2)[:, :, :-1]
+    weights = alphas * transmittance  # (b, n, s, 1)
+    weights_sum = weights.sum(axis=2)  # (b, n, 1)
+
+    if last_back:
+        weights = weights.at[:, :, -1].add(1.0 - weights_sum)
+
+    rgb_final = jnp.sum(weights * rgbs, axis=-2)    # (b, n, dim_rgb)
+    depth_final = jnp.sum(weights * z_vals, axis=-2)  # (b, n, 1)
+
+    if white_back:
+        rgb_final = rgb_final + 1.0 - weights_sum
+
+    if fill_mode == "debug":
+        red = jnp.zeros_like(rgb_final).at[..., 0].set(1.0)
+        rgb_final = jnp.where(weights_sum < 0.9, red, rgb_final)
+    elif fill_mode == "weight":
+        rgb_final = jnp.broadcast_to(weights_sum, rgb_final.shape)
+
+    return rgb_final, depth_final, weights
+
+
+def sample_pdf(
+    key: Optional[jax.Array],
+    bins: jnp.ndarray,
+    weights: jnp.ndarray,
+    n_importance: int,
+    det: bool = False,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Inverse-CDF importance sampling (`pigan_utils.sample_pdf`,
+    `pigan_utils.py:164-209`).
+
+    Args:
+      bins:    (R, B) bin edges (mid-points of coarse z-vals).
+      weights: (R, B - 1) unnormalized bin weights.
+      n_importance: number of samples to draw per ray.
+      det: deterministic (linspace) instead of uniform draws.
+
+    Returns: samples (R, n_importance).
+    """
+    n_rays, n_bins_w = weights.shape
+    weights = weights + eps
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)  # (R, B)
+
+    if det:
+        u = jnp.linspace(0.0, 1.0, n_importance, dtype=bins.dtype)
+        u = jnp.broadcast_to(u[None], (n_rays, n_importance))
+    else:
+        if key is None:
+            raise ValueError("sample_pdf with det=False requires an RNG key")
+        u = jax.random.uniform(key, (n_rays, n_importance), bins.dtype)
+
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu))(cdf, u)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, n_bins_w)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_below = jnp.take_along_axis(bins, below, axis=-1)
+    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < eps, 1.0, denom)
+    samples = bins_below + (u - cdf_below) / denom * (bins_above - bins_below)
+    return samples
+
+
+def get_fine_points(
+    key: Optional[jax.Array],
+    coarse_output: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    dim_rgb: int,
+    clamp_mode: str,
+    noise_std: float,
+    num_steps: int,
+    ray_origins: jnp.ndarray,
+    ray_directions: jnp.ndarray,
+    noise_key: Optional[jax.Array] = None,
+    det: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Coarse→fine hierarchical resampling
+    (`generator_nerf_inr.get_fine_points_and_direction`,
+    `exp/dev/nerf_inr/models/generator_nerf_inr.py:538-598`).
+
+    The whole computation is wrapped in `stop_gradient` (the reference runs it
+    under `torch.no_grad()` and `.detach()`s the samples).
+
+    Args:
+      coarse_output: (b, n, s, dim_rgb + 1)
+      z_vals:        (b, n, s, 1)
+      ray_origins:   (b, n, 3)
+      ray_directions:(b, n, 3)
+
+    Returns:
+      fine_points: (b, n, num_steps, 3)
+      fine_z_vals: (b, n, num_steps, 1)
+    """
+    b, n, s, _ = coarse_output.shape
+
+    def _resample(coarse_output, z_vals, ray_origins, ray_directions):
+        _, _, weights = volume_render(
+            coarse_output,
+            z_vals,
+            noise_key=noise_key,
+            noise_std=noise_std,
+            dim_rgb=dim_rgb,
+            clamp_mode=clamp_mode,
+        )
+        w = weights.reshape(b * n, s) + 1e-5
+        z = z_vals.reshape(b * n, s)
+        z_mid = 0.5 * (z[:, :-1] + z[:, 1:])  # (bn, s-1)
+        fine_z = sample_pdf(key, z_mid, w[:, 1:-1], num_steps, det=det)
+        fine_z = fine_z.reshape(b, n, num_steps, 1)
+        fine_points = ray_origins[:, :, None, :] + ray_directions[:, :, None, :] * fine_z
+        return fine_points, fine_z
+
+    fine_points, fine_z = _resample(coarse_output, z_vals, ray_origins, ray_directions)
+    return jax.lax.stop_gradient(fine_points), jax.lax.stop_gradient(fine_z)
+
+
+def merge_sorted_samples(
+    coarse_output: jnp.ndarray,
+    coarse_z: jnp.ndarray,
+    fine_output: jnp.ndarray,
+    fine_z: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Concatenate fine+coarse samples and sort by depth
+    (`exp/cips3d/models/generator.py:1732-1738`).
+
+    The reference concatenates [fine, coarse] then argsorts z; we mirror the
+    ordering (ties keep fine first) via a stable sort.
+
+    Shapes: outputs (b, n, s, c), z (b, n, s, 1) → (b, n, 2s, ...).
+    """
+    all_outputs = jnp.concatenate([fine_output, coarse_output], axis=-2)
+    all_z = jnp.concatenate([fine_z, coarse_z], axis=-2)
+    idx = jnp.argsort(all_z, axis=-2)  # stable; (b, n, 2s, 1)
+    all_z = jnp.take_along_axis(all_z, idx, axis=-2)
+    c = all_outputs.shape[-1]
+    all_outputs = jnp.take_along_axis(
+        all_outputs, jnp.broadcast_to(idx, idx.shape[:-1] + (c,)), axis=-2
+    )
+    return all_outputs, all_z
