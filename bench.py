@@ -1,0 +1,77 @@
+"""Benchmark: flagship r64 adversarial train step, images/sec/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference trains FFHQ r64 for 200k iters at batch 4/GPU on
+8 GPUs in "about 2 days or less" (README.md:201-202) →
+200000 * 32 / 172800 s ≈ 37.0 imgs/s on 8 GPUs ≈ 4.63 imgs/s per GPU.
+``vs_baseline`` is per-chip throughput relative to that per-GPU number.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_IMGS_PER_SEC_PER_CHIP = 200000 * 32 / (2 * 86400) / 8  # ≈ 4.63
+
+
+def main():
+    from cips3d_tpu.models.discriminator import DiscriminatorMultiScaleAux
+    from cips3d_tpu.models.generator import GeneratorConfig, GeneratorNerfINR, RenderOptions
+    from cips3d_tpu.train.state import TrainConfig
+    from cips3d_tpu.train.step import init_train_state, make_train_step
+
+    img_size = 64
+    batch = 4
+
+    gcfg = GeneratorConfig()
+    opts = RenderOptions(img_size=img_size, num_steps=12)
+    tcfg = TrainConfig(img_size=img_size, batch_size=batch)
+
+    gen = GeneratorNerfINR(cfg=gcfg, dtype=jnp.bfloat16)
+    disc = DiscriminatorMultiScaleAux(max_size=1024, dtype=jnp.bfloat16)
+
+    key = jax.random.PRNGKey(0)
+    print("initializing...", file=sys.stderr)
+    state = init_train_state(key, gen, disc, tcfg, opts)
+    step_fn = jax.jit(make_train_step(gen, disc, tcfg, opts, aux_reg=True), donate_argnums=(0,))
+
+    real = jax.random.uniform(key, (batch, 3, img_size, img_size)) * 2 - 1
+
+    print("compiling...", file=sys.stderr)
+    t0 = time.time()
+    state, metrics = step_fn(state, real, key)
+    jax.block_until_ready(metrics)
+    print(f"compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # warmup
+    for i in range(3):
+        state, metrics = step_fn(state, real, jax.random.fold_in(key, i))
+    jax.block_until_ready(metrics)
+
+    n_steps = 20
+    t0 = time.time()
+    for i in range(n_steps):
+        state, metrics = step_fn(state, real, jax.random.fold_in(key, 100 + i))
+    jax.block_until_ready(metrics)
+    dt = time.time() - t0
+
+    imgs_per_sec = n_steps * batch / dt
+    print(f"{n_steps} steps in {dt:.2f}s", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "train_imgs_per_sec_per_chip_r64",
+                "value": round(imgs_per_sec, 2),
+                "unit": "imgs/s",
+                "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC_PER_CHIP, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -54,7 +54,9 @@ def volume_render(
     delta_inf = jnp.full_like(deltas[:, :, :1], 1e10)
     deltas = jnp.concatenate([deltas, delta_inf], axis=-2)  # (b, n, s, 1)
 
-    if noise_key is not None and noise_std > 0:
+    # noise_std may be a traced scalar (the nerf_noise schedule decays per
+    # step, `exp/cips3d/scripts/train.py:327`); only the key gates statically.
+    if noise_key is not None and not (isinstance(noise_std, (int, float)) and noise_std == 0):
         sigmas = sigmas + jax.random.normal(noise_key, sigmas.shape, sigmas.dtype) * noise_std
 
     if clamp_mode == "softplus":

@@ -1,0 +1,195 @@
+"""StyleGAN-zip image dataset + host-side loader.
+
+Native replacement for the external tl2 dataset the reference trains from
+(`tl2.proj.pytorch.examples.dataset_stylegan3.dataset.ImageFolderDataset_of_stylegan`,
+wired at `exp/cips3d/scripts/train.py:31,299-305` with config
+`exp/cips3d/configs/ffhq_exp.yaml:103-114`): a zip of PNG/JPG images plus an
+optional ``dataset.json`` with labels; options ``xflip`` (doubles the dataset
+with mirrored copies), ``resize_resolution``, and ``max_size``.
+
+Loader design (TPU-first): the host pipeline decodes and resizes with PIL in
+a small thread pool, assembles NCHW uint8 batches, and normalizes to [-1, 1]
+on device (`to_norm_tensor` analogue).  Multi-host: each process reads its
+``jax.process_index()``-strided shard (the DistributedSampler analogue,
+`exp/pigan/datasets.py:168-192`).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import zipfile
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+
+
+class ZipImageDataset:
+    """Random-access view over a StyleGAN-format image zip."""
+
+    def __init__(
+        self,
+        path: str,
+        resize_resolution: Optional[int] = None,
+        xflip: bool = False,
+        max_size: Optional[int] = None,
+        use_labels: bool = False,
+    ):
+        self.path = path
+        self.resize_resolution = resize_resolution
+        self.xflip = xflip
+        self.use_labels = use_labels
+        self._local = threading.local()
+
+        with zipfile.ZipFile(path) as zf:
+            names = [n for n in zf.namelist() if n.lower().endswith(IMAGE_EXTS)]
+            names.sort()
+            self._labels = None
+            if use_labels and "dataset.json" in zf.namelist():
+                meta = json.loads(zf.read("dataset.json"))
+                label_map = dict(meta.get("labels") or [])
+                self._labels = [label_map.get(n, 0) for n in names]
+        if max_size is not None:
+            names = names[:max_size]
+            if self._labels:
+                self._labels = self._labels[:max_size]
+        self._names = names
+        self._base_len = len(names)
+        if self._base_len == 0:
+            raise ValueError(f"no images found in {path}")
+
+    def __len__(self) -> int:
+        return self._base_len * (2 if self.xflip else 1)
+
+    @property
+    def resolution(self) -> int:
+        img = self[0][0]
+        return img.shape[-1]
+
+    def _zf(self) -> zipfile.ZipFile:
+        # one open zip handle per reader thread
+        if not hasattr(self._local, "zf"):
+            self._local.zf = zipfile.ZipFile(self.path)
+        return self._local.zf
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, int]:
+        """Returns (CHW uint8 image, label)."""
+        flip = self.xflip and idx >= self._base_len
+        base_idx = idx % self._base_len
+        data = self._zf().read(self._names[base_idx])
+        import io
+
+        img = Image.open(io.BytesIO(data)).convert("RGB")
+        if self.resize_resolution and img.size != (self.resize_resolution, self.resize_resolution):
+            img = img.resize((self.resize_resolution, self.resize_resolution), Image.LANCZOS)
+        arr = np.asarray(img, np.uint8)
+        if flip:
+            arr = arr[:, ::-1]
+        arr = arr.transpose(2, 0, 1)  # CHW
+        label = self._labels[base_idx] if self._labels else 0
+        return arr, label
+
+
+def to_norm_tensor(batch_u8: np.ndarray) -> np.ndarray:
+    """uint8 [0,255] → float32 [-1, 1] (tl2 `to_norm_tensor` analogue)."""
+    return batch_u8.astype(np.float32) / 127.5 - 1.0
+
+
+class DataLoader:
+    """Infinite shuffled batch iterator with background prefetch.
+
+    Per-host sharding: with ``num_shards`` processes, shard ``shard_index``
+    reads indices ``i * num_shards + shard_index`` of each epoch permutation
+    (DistributedSampler semantics).
+    """
+
+    def __init__(
+        self,
+        dataset: ZipImageDataset,
+        batch_size: int,
+        seed: int = 0,
+        shard_index: int = 0,
+        num_shards: int = 1,
+        num_workers: int = 4,
+        prefetch: int = 4,
+        shuffle: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.seed = seed
+        self.shard_index = shard_index
+        self.num_shards = num_shards
+        self.num_workers = max(1, num_workers)
+        self.shuffle = shuffle
+        self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._producer, daemon=True)
+        self._thread.start()
+
+    def _index_stream(self) -> Iterator[int]:
+        rng = np.random.default_rng(self.seed)
+        n = len(self.dataset)
+        while True:
+            order = rng.permutation(n) if self.shuffle else np.arange(n)
+            for i in range(self.shard_index, n, self.num_shards):
+                yield int(order[i])
+
+    def _producer(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        stream = self._index_stream()
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            while not self._stop.is_set():
+                idxs = [next(stream) for _ in range(self.batch_size)]
+                items = list(pool.map(self.dataset.__getitem__, idxs))
+                imgs = np.stack([it[0] for it in items])
+                labels = np.array([it[1] for it in items], np.int32)
+                try:
+                    self._queue.put((imgs, labels), timeout=30)
+                except queue.Full:  # consumer gone
+                    if self._stop.is_set():
+                        return
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Tuple[np.ndarray, np.ndarray]:
+        return self._queue.get()
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
+
+
+def write_stylegan_zip(
+    out_path: str,
+    images: List[np.ndarray],
+    labels: Optional[List[int]] = None,
+    fmt: str = "png",
+):
+    """Write HWC uint8 images into a StyleGAN-format zip (+ dataset.json)."""
+    import io
+
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_STORED) as zf:
+        names = []
+        for i, arr in enumerate(images):
+            name = f"img{i:08d}.{fmt}"
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format=fmt.upper())
+            zf.writestr(name, buf.getvalue())
+            names.append(name)
+        if labels is not None:
+            meta = {"labels": [[n, int(l)] for n, l in zip(names, labels)]}
+            zf.writestr("dataset.json", json.dumps(meta))

@@ -73,11 +73,14 @@ def upfirdn2d_general(
     # The reference correlates with flip(kernel); replicate exactly.
     rhs = jnp.broadcast_to(jnp.flip(kernel, (0, 1))[None, None], (c, 1, kh, kw))
 
+    # XLA lhs_dilation inserts zeros only *between* elements (length
+    # in*up - (up-1)); the spec zero-stuffs to in*up (trailing zeros), so the
+    # missing up-1 zeros go into the high-side padding.
     out = lax.conv_general_dilated(
         x,
         rhs,
         window_strides=(down_y, down_x),
-        padding=((pad_y0, pad_y1), (pad_x0, pad_x1)),
+        padding=((pad_y0, pad_y1 + up_y - 1), (pad_x0, pad_x1 + up_x - 1)),
         lhs_dilation=(up_y, up_x),
         rhs_dilation=(1, 1),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),

@@ -1,0 +1,323 @@
+"""Host training driver: config → models → state → data → steps → eval/ckpt.
+
+Functional rewrite of `exp/cips3d/scripts/train.py:209-578`:
+  * build G/D from config, init or resume/finetune state;
+  * per-step: D phase + G phase + EMA inside ONE jitted step (two compiled
+    variants cover the aux/no-aux schedule, `train.py:338`);
+  * every ``log_every``: flush scalar metrics to the textlogger
+    (`train.py:493-511`);
+  * every ``eval_every``: dump reals (cached) + EMA fakes, compute FID, track
+    best, write best/backup/resume checkpoint trees (`train.py:515-575`);
+  * fixed-z image monitors incl. EMA/truncation/tilt/mirror probes
+    (`train.py:86-150`);
+  * NaN guard: non-finite grad steps are skipped inside the jitted step; the
+    host dumps a ``{G,D}_crupted`` snapshot when it sees one
+    (`train.py:420-435`).
+
+Multi-device: one process drives the whole mesh (pjit-style SPMD); batch is
+sharded over 'data', params replicated (the DDP analogue).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cips3d_tpu.core.ema import ema_update  # noqa: F401  (re-export convenience)
+from cips3d_tpu.data.zip_dataset import DataLoader, ZipImageDataset, to_norm_tensor
+from cips3d_tpu.eval.fid import eval_fid
+from cips3d_tpu.eval.images import gen_images, save_image_grid, setup_evaluation
+from cips3d_tpu.models.discriminator import DiscriminatorMultiScaleAux
+from cips3d_tpu.models.generator import (
+    GeneratorConfig,
+    GeneratorNerfINR,
+    RenderOptions,
+    sample_zs,
+)
+from cips3d_tpu.parallel.mesh import make_mesh, replicated, shard_batch, shard_train_step
+from cips3d_tpu.train.state import TrainConfig, TrainState
+from cips3d_tpu.train.step import init_train_state, make_train_step
+from cips3d_tpu.utils.checkpoint import CheckpointManager
+from cips3d_tpu.utils.textlogger import TextLogger
+
+
+@dataclasses.dataclass
+class LoopConfig:
+    """Host-loop settings (`exp/cips3d/configs/ffhq_exp.yaml:145-189`)."""
+
+    outdir: str = "results/run"
+    data_path: str = ""
+    seed: int = 1234
+    log_every: int = 10
+    eval_every: int = 500
+    num_images_real_eval: int = 2048
+    num_images_gen_eval: int = 2048
+    eval_batch_size: int = 16
+    fixed_z_bs: int = 16
+    del_fid_real_images: bool = True
+    num_workers: int = 4
+    xflip: bool = True
+    max_to_keep: int = 3
+    debug: bool = False
+
+
+def save_monitor_images(
+    generator, params, ema_params, fixed_zs, opts: RenderOptions, out_dir: str
+):
+    """Fixed-z grids: G, EMA, truncation psi=0.7, tilted, mirror-symmetry
+    probe (`train.py:86-150`)."""
+    os.makedirs(out_dir, exist_ok=True)
+    key = jax.random.PRNGKey(0)
+    base = dataclasses.replace(opts, h_stddev=0.0, v_stddev=0.0)
+
+    def render(p, o, z=fixed_zs):
+        imgs, _ = jax.jit(
+            lambda p, z, k: generator.apply(p, z, k, o, return_aux_img=True)
+        )(p, z, key)
+        return np.asarray(imgs)
+
+    bs = fixed_zs["z_nerf"].shape[0]
+    nrow = max(1, int(math.sqrt(bs)))
+    save_image_grid(render(params, base), f"{out_dir}/0Gz.jpg", nrow)
+    save_image_grid(render(ema_params, base), f"{out_dir}/0Gz_ema.jpg", nrow)
+
+    tilted = dataclasses.replace(base, h_mean=math.pi * 0.5 + 0.5)
+    save_image_grid(render(params, tilted), f"{out_dir}/0Gz_tilted.jpg", nrow)
+    save_image_grid(render(ema_params, tilted), f"{out_dir}/0Gz_tilted_ema.jpg", nrow)
+
+    # mirror-symmetry probe: yaw 1.44 vs 1.70 (`train.py:130-148`)
+    sub = {k: v[: min(8, bs)] for k, v in fixed_zs.items()}
+    f1 = render(ema_params, dataclasses.replace(base, h_mean=1.44), sub)
+    f2 = render(ema_params, dataclasses.replace(base, h_mean=1.70), sub)
+    save_image_grid(np.concatenate([f1, f2], axis=0), f"{out_dir}/0G_flip_ema.jpg", len(sub["z_nerf"]))
+
+
+def train(
+    gen_cfg: GeneratorConfig,
+    train_cfg: TrainConfig,
+    opts: RenderOptions,
+    loop_cfg: LoopConfig,
+    disc_kwargs: Optional[dict] = None,
+    resume: bool = False,
+    finetune_dir: Optional[str] = None,
+    load_nerf_ema: bool = False,
+    reset_best_fid: bool = False,
+    n_devices: Optional[int] = None,
+):
+    """Run the adversarial loop.  Returns the final TrainState."""
+    outdir = loop_cfg.outdir
+    os.makedirs(outdir, exist_ok=True)
+    textlogger = TextLogger(os.path.join(outdir, "textdir"))
+    ckpt_mgr = CheckpointManager(os.path.join(outdir, "ckptdir"), loop_cfg.max_to_keep)
+
+    generator = GeneratorNerfINR(cfg=gen_cfg)
+    discriminator = DiscriminatorMultiScaleAux(**(disc_kwargs or {}))
+
+    key = jax.random.PRNGKey(loop_cfg.seed)
+    key, k_init, k_fixed = jax.random.split(key, 3)
+    state = init_train_state(k_init, generator, discriminator, train_cfg, opts)
+
+    start_state = {"step": 0, "best_fid": float("inf"), "cur_fid": float("inf")}
+    module_refs = {
+        "generator": state.g_params,
+        "G_ema": state.ema_params,
+        "discriminator": state.d_params,
+    }
+    if resume and ckpt_mgr.has_snapshot("resume"):
+        loaded = ckpt_mgr.load_snapshot("resume", module_refs)
+        state = state.replace(
+            g_params=loaded["generator"],
+            ema_params=loaded["G_ema"],
+            d_params=loaded["discriminator"],
+        )
+        start_state.update(ckpt_mgr.load_state("resume"))
+        state = state.replace(step=jnp.asarray(start_state["step"], jnp.int32))
+    elif finetune_dir:
+        # weights only, step restarts (`train.py:262-271`)
+        mgr2 = CheckpointManager(os.path.dirname(finetune_dir))
+        loaded = mgr2.load_snapshot(os.path.basename(finetune_dir), module_refs)
+        state = state.replace(
+            g_params=loaded["generator"],
+            ema_params=loaded["G_ema"],
+            d_params=loaded["discriminator"],
+        )
+    if load_nerf_ema:
+        state = state.replace(g_params=_copy_nerf_from_ema(state.g_params, state.ema_params))
+    if reset_best_fid:
+        start_state["best_fid"] = float("inf")
+
+    fixed_zs = sample_zs(k_fixed, 4 if loop_cfg.debug else loop_cfg.fixed_z_bs, gen_cfg)
+
+    # data
+    mesh = make_mesh(n_devices)
+    n_dev = mesh.devices.size
+    global_batch = train_cfg.batch_size * n_dev
+    dataset = ZipImageDataset(
+        loop_cfg.data_path, resize_resolution=train_cfg.img_size, xflip=loop_cfg.xflip
+    )
+    loader = DataLoader(
+        dataset,
+        batch_size=global_batch,
+        seed=loop_cfg.seed,
+        shard_index=jax.process_index(),
+        num_shards=jax.process_count(),
+        num_workers=loop_cfg.num_workers,
+    )
+
+    # two compiled variants cover the aux schedule (`train.py:338`)
+    step_fns = {}
+    for aux_reg in {True, False}:
+        fn = make_train_step(generator, discriminator, train_cfg, opts, aux_reg=aux_reg)
+        step_fns[aux_reg] = shard_train_step(fn, mesh)
+
+    with mesh:
+        state = jax.device_put(state, replicated(mesh))
+
+        start = start_state["step"]
+        total = 2 if loop_cfg.debug else train_cfg.total_iters
+        t_last = time.time()
+        for step in range(start, total):
+            imgs_u8, _ = next(loader)
+            real = shard_batch(to_norm_tensor(imgs_u8), mesh)
+            key, k_step = jax.random.split(key)
+
+            aux_reg = train_cfg.train_aux_img and (step % train_cfg.update_aux_every == 0)
+            state, metrics = step_fns[aux_reg](state, real, k_step)
+
+            if (step + 1) % loop_cfg.log_every == 0 or loop_cfg.debug:
+                m = {k: float(v) for k, v in metrics.items()}
+                if not (m["d_finite"] > 0):
+                    _dump_crupted(ckpt_mgr, state, "D_crupted", start_state)
+                if not (m["g_finite"] > 0):
+                    _dump_crupted(ckpt_mgr, state, "G_crupted", start_state)
+                summary = {k: {k: v} for k, v in m.items()}
+                summary["lr"] = {"G_lr": train_cfg.gen_lr, "D_lr": train_cfg.disc_lr}
+                summary["speed"] = {
+                    "imgs_per_sec": global_batch * loop_cfg.log_every / (time.time() - t_last)
+                }
+                t_last = time.time()
+                textlogger.log_dict(summary, prefix="train", step=step + 1)
+                print(
+                    f"step {step + 1}: d_loss={m['d_loss']:.4f} g_loss={m['g_loss']:.4f} "
+                    f"gp={m['grad_penalty']:.4f} {summary['speed']['imgs_per_sec']:.1f} img/s",
+                    flush=True,
+                )
+
+            start_state["step"] = step + 1
+            if step == 0 or (step + 1) % loop_cfg.eval_every == 0 or loop_cfg.debug:
+                _run_eval_and_checkpoint(
+                    generator,
+                    state,
+                    fixed_zs,
+                    opts,
+                    train_cfg,
+                    loop_cfg,
+                    dataset,
+                    ckpt_mgr,
+                    textlogger,
+                    start_state,
+                )
+
+    loader.close()
+    textlogger.close()
+    return state
+
+
+def _copy_nerf_from_ema(g_params, ema_params):
+    """`load_nerf_ema`: seed siren + nerf mapping + aux head from EMA
+    (`generator.py:1957-1961`)."""
+    out = jax.tree_util.tree_map(lambda x: x, g_params)
+    p = out["params"]
+    e = ema_params["params"]
+    for mod in ("siren", "mapping_network_nerf", "aux_to_rgb"):
+        if mod in p and mod in e:
+            p[mod] = jax.tree_util.tree_map(lambda x: x, e[mod])
+    return out
+
+
+def _dump_crupted(ckpt_mgr, state, name, host_state):
+    ckpt_mgr.save_snapshot(
+        name,
+        {
+            "generator": jax.device_get(state.g_params),
+            "G_ema": jax.device_get(state.ema_params),
+            "discriminator": jax.device_get(state.d_params),
+        },
+        state={k: v for k, v in host_state.items()},
+        info_msg=f"non-finite gradients at step {host_state['step']}",
+    )
+
+
+def _run_eval_and_checkpoint(
+    generator, state, fixed_zs, opts, train_cfg, loop_cfg, dataset, ckpt_mgr, textlogger, host_state
+):
+    img_size = train_cfg.img_size
+    n_eval = 16 if loop_cfg.debug else loop_cfg.num_images_real_eval
+    n_gen = 16 if loop_cfg.debug else loop_cfg.num_images_gen_eval
+    real_dir = os.path.join(loop_cfg.outdir, "fid/real")
+    fake_dir = os.path.join(loop_cfg.outdir, "fid/fake")
+
+    setup_evaluation(
+        dataset.__class__(dataset.path, resize_resolution=None, xflip=False),
+        real_dir,
+        n_eval,
+        img_size,
+        del_existing=loop_cfg.del_fid_real_images,
+        shard_index=jax.process_index(),
+        num_shards=jax.process_count(),
+    )
+    loop_cfg.del_fid_real_images = False
+
+    ema_host = jax.device_get(state.ema_params)
+    gen_images(
+        ema_host,
+        generator,
+        fake_dir,
+        n_gen,
+        img_size,
+        batch_size=loop_cfg.eval_batch_size,
+        num_steps=opts.num_steps,
+        opts=opts,
+        shard_index=jax.process_index(),
+        num_shards=jax.process_count(),
+    )
+
+    if jax.process_index() == 0:
+        metric_dict = eval_fid(real_dir, fake_dir)
+        step = host_state["step"]
+        textlogger.log_dict({"FID": {"FID": metric_dict["FID"]}}, prefix="eval", step=step)
+        host_state["cur_fid"] = metric_dict["FID"]
+        print(f"step {step}: FID={metric_dict['FID']:.3f}", flush=True)
+
+        modules = {
+            "generator": jax.device_get(state.g_params),
+            "G_ema": ema_host,
+            "discriminator": jax.device_get(state.d_params),
+        }
+        info = (
+            f"step: {step}\ncur_fid: {host_state['cur_fid']}\n"
+            f"best_fid: {host_state['best_fid']}"
+        )
+        if host_state["best_fid"] > metric_dict["FID"]:
+            host_state["best_fid"] = metric_dict["FID"]
+            ckpt_mgr.save_snapshot("best_fid", modules, dict(host_state), info)
+        ckpt_mgr.save_backup(modules, dict(host_state), info)
+        ckpt_mgr.save_snapshot("resume", modules, dict(host_state), info)
+        try:
+            save_monitor_images(
+                generator,
+                modules["generator"],
+                modules["G_ema"],
+                fixed_zs,
+                dataclasses.replace(opts, img_size=img_size),
+                os.path.join(ckpt_mgr.ckpt_dir, "resume"),
+            )
+        except Exception as e:  # monitors must never kill training
+            print(f"monitor images failed: {e}", flush=True)

@@ -1,0 +1,250 @@
+"""One adversarial training step (D phase + G phase + EMA), fully jittable.
+
+Functional rewrite of the reference's hot loop
+(`exp/cips3d/scripts/train.py:312-491`):
+
+  D phase: sample z → G forward (no grad) → D(real) with R1 via `jax.grad`
+  w.r.t. the images → D(fake) → softplus logistic loss → clip+NaN-guard →
+  Adam.  With aux regularization the fake batch is [inr | aux] and real images
+  are doubled (`train.py:377-381`), split half/half across main/aux D.
+
+  G phase: fresh z → G forward with partial-grad pixels → D(fake) →
+  softplus(-logits) → clip+NaN-guard → Adam → EMA.
+
+Static configuration (aux_reg, d_regularize, batch_split, img_size) selects
+the compiled variant; traced scalars (step, nerf_noise, alpha) flow through
+the graph so schedules never retrigger compilation.
+
+Gradient accumulation (`batch_split`, `train.py:346-378,445-466`) is a
+`lax.scan` over microbatches summing gradients.
+
+Multi-device: the step is written for `jit` under a `Mesh` with the batch
+sharded over the 'data' axis and params replicated — XLA inserts the gradient
+all-reduce over ICI (the reference's DDP allreduce, `train.py:235-236`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cips3d_tpu.core.ema import ema_update
+from cips3d_tpu.models.generator import GeneratorNerfINR, RenderOptions, sample_zs
+from cips3d_tpu.train import losses
+from cips3d_tpu.train.schedules import alpha_schedule, nerf_noise_schedule
+from cips3d_tpu.train.state import TrainConfig, TrainState, clip_and_guard, make_optimizers
+
+
+def _scan_microbatches(grad_fn, params, zs, keys, n_split):
+    """Accumulate (grads, aux) over z microbatches with lax.scan."""
+    if n_split <= 1:
+        return grad_fn(params, zs, keys[0])
+
+    def split_tree(t):
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((n_split, x.shape[0] // n_split) + x.shape[1:]), t
+        )
+
+    zs_s = split_tree(zs)
+
+    def body(carry, inp):
+        zs_i, key_i = inp
+        grads_i, aux_i = grad_fn(params, zs_i, key_i)
+        grads, aux = carry
+        grads = jax.tree_util.tree_map(jnp.add, grads, grads_i)
+        aux = jax.tree_util.tree_map(jnp.add, aux, aux_i)
+        return (grads, aux), None
+
+    g0, a0 = grad_fn(params, jax.tree_util.tree_map(lambda x: x[0], zs_s), keys[0])
+    (grads, aux), _ = jax.lax.scan(
+        body,
+        (g0, a0),
+        (jax.tree_util.tree_map(lambda x: x[1:], zs_s), keys[1:]),
+    )
+    inv = 1.0 / n_split
+    return (
+        jax.tree_util.tree_map(lambda g: g * inv, grads),
+        jax.tree_util.tree_map(lambda a: a * inv, aux),
+    )
+
+
+def make_train_step(
+    generator: GeneratorNerfINR,
+    discriminator,
+    cfg: TrainConfig,
+    opts: RenderOptions,
+    aux_reg: bool,
+    d_regularize: bool = True,
+):
+    """Build the jittable step for one (aux_reg, d_regularize) variant.
+
+    Returns step(state, real_imgs, key) -> (state, metrics).
+    """
+    g_tx, d_tx = make_optimizers(cfg)
+    num_points = cfg.img_size ** 2
+    # yaml stores the square root (`grad_points: 256` → 256² pixels,
+    # `train.py:449-450`); partial-grad only kicks in when it caps the image.
+    grad_points = cfg.grad_points ** 2 if cfg.grad_points else None
+    use_grad_points = grad_points is not None and grad_points < num_points
+    # forward_points chunking is an inference-memory device; in training the
+    # reference only enables it at img_size >= 256 for the (no-grad) D-phase
+    # G forward (`train.py:353-356`) — under jit the whole no-grad forward is
+    # already materialization-free, so we run it unchunked.
+
+    def render_opts(step):
+        return dataclasses.replace(
+            opts,
+            img_size=cfg.img_size,
+            nerf_noise=nerf_noise_schedule(step, cfg.nerf_noise_disable),
+        )
+
+    def d_loss_fn(d_params, g_params, real_imgs, step, alpha, key):
+        k_z, k_g, k_da1, k_da2 = jax.random.split(key, 4)
+        zs = sample_zs(k_z, real_imgs.shape[0], generator.cfg, cfg.z_dist)
+        ropts = render_opts(step)
+        fake_imgs, _ = generator.apply(
+            g_params, zs, k_g, ropts, return_aux_img=aux_reg
+        )
+        fake_imgs = jax.lax.stop_gradient(fake_imgs)
+        if aux_reg:
+            real_imgs = jnp.concatenate([real_imgs, real_imgs], axis=0)
+
+        def d_apply(x, k):
+            return discriminator.apply(
+                d_params, x, alpha, use_aux_disc=aux_reg, diffaug_key=k, fade_in=cfg.warmup_d
+            )
+
+        if d_regularize and cfg.r1_lambda > 0:
+            penalty, real_logits = losses.r1_penalty(
+                lambda x: d_apply(x, k_da1), real_imgs, cfg.r1_lambda, cfg.d_reg_every
+            )
+        else:
+            real_logits = d_apply(real_imgs, k_da1)
+            penalty = jnp.zeros_like(real_logits)
+
+        fake_logits = d_apply(fake_imgs, k_da2)
+        loss = jnp.mean(losses.d_logistic_loss(real_logits, fake_logits) + penalty)
+        metrics = {
+            "d_loss": loss,
+            "d_logits_real": jnp.mean(real_logits),
+            "d_logits_fake": jnp.mean(fake_logits),
+            "grad_penalty": jnp.mean(penalty),
+        }
+        return loss, metrics
+
+    def g_loss_fn(g_params, d_params, zs, step, alpha, key):
+        k_g, k_da = jax.random.split(key)
+        ropts = render_opts(step)
+        fake_imgs, _ = generator.apply(
+            g_params,
+            zs,
+            k_g,
+            ropts,
+            return_aux_img=aux_reg,
+            grad_points=grad_points if use_grad_points else None,
+        )
+        fake_logits = discriminator.apply(
+            d_params,
+            fake_imgs.astype(jnp.float32),
+            alpha,
+            use_aux_disc=aux_reg,
+            diffaug_key=k_da,
+            fade_in=cfg.warmup_d,
+        )
+        loss = jnp.mean(losses.g_nonsaturating_loss(fake_logits))
+        return loss, {"g_loss": loss, "g_logits_fake": jnp.mean(fake_logits)}
+
+    def step_fn(state: TrainState, real_imgs: jnp.ndarray, key: jax.Array):
+        step = state.step
+        alpha = alpha_schedule(step, cfg.warmup_d, cfg.fade_steps)
+        k_d, k_gz, k_g = jax.random.split(key, 3)
+
+        # ---------------- D phase ----------------
+        d_grad_fn = jax.grad(d_loss_fn, has_aux=True)
+        d_grads, d_metrics = d_grad_fn(
+            state.d_params, state.g_params, real_imgs, step, alpha, k_d
+        )
+        d_grads, d_norm, d_finite = clip_and_guard(d_grads, cfg.grad_clip)
+        d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+        d_params = jax.tree_util.tree_map(jnp.add, state.d_params, d_updates)
+
+        # ---------------- G phase ----------------
+        bs = real_imgs.shape[0]
+        zs = sample_zs(k_gz, bs, generator.cfg, cfg.z_dist)
+        if cfg.batch_split > 1:
+            keys = jax.random.split(k_g, cfg.batch_split)
+            g_grads, g_metrics = _scan_microbatches(
+                lambda p, z, k: jax.grad(g_loss_fn, has_aux=True)(
+                    p, d_params, z, step, alpha, k
+                ),
+                state.g_params,
+                zs,
+                keys,
+                cfg.batch_split,
+            )
+        else:
+            g_grads, g_metrics = jax.grad(g_loss_fn, has_aux=True)(
+                state.g_params, d_params, zs, step, alpha, k_g
+            )
+        g_grads, g_norm, g_finite = clip_and_guard(g_grads, cfg.grad_clip)
+        g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = jax.tree_util.tree_map(jnp.add, state.g_params, g_updates)
+
+        # ---------------- EMA ----------------
+        ema_params = ema_update(
+            state.ema_params, g_params, step, cfg.ema_decay, cfg.ema_start_itr
+        )
+
+        new_state = state.replace(
+            step=step + 1,
+            g_params=g_params,
+            d_params=d_params,
+            g_opt=g_opt,
+            d_opt=d_opt,
+            ema_params=ema_params,
+        )
+        metrics = dict(d_metrics)
+        metrics.update(g_metrics)
+        metrics.update(
+            {
+                "d_total_norm": d_norm,
+                "g_total_norm": g_norm,
+                "d_finite": d_finite.astype(jnp.float32),
+                "g_finite": g_finite.astype(jnp.float32),
+                "alpha": alpha,
+                "nerf_noise": nerf_noise_schedule(step, cfg.nerf_noise_disable),
+            }
+        )
+        return new_state, metrics
+
+    return step_fn
+
+
+def init_train_state(
+    key: jax.Array,
+    generator: GeneratorNerfINR,
+    discriminator,
+    cfg: TrainConfig,
+    opts: RenderOptions,
+) -> TrainState:
+    """Initialize G/D/EMA params and optimizer states."""
+    k_g, k_d, k_z = jax.random.split(key, 3)
+    zs = sample_zs(k_z, 2, generator.cfg, cfg.z_dist)
+    init_opts = dataclasses.replace(opts, img_size=cfg.img_size)
+    g_params = generator.init(k_g, zs, k_z, init_opts)
+    d_params = discriminator.init(
+        k_d, jnp.zeros((2, 3, 8, 8)), method=discriminator.init_all
+    )
+    g_tx, d_tx = make_optimizers(cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_params,
+        d_params=d_params,
+        g_opt=g_tx.init(g_params),
+        d_opt=d_tx.init(d_params),
+        ema_params=jax.tree_util.tree_map(lambda p: p, g_params),
+    )
