@@ -1,0 +1,255 @@
+"""Rendering apps: multiview grids, trajectory videos, chunked big-image
+inference.
+
+Counterparts of:
+  * pi-GAN multiview render (`exp/pigan/scripts/render_multiview_images.py:67-86`):
+    fixed yaw sweep [-0.5,-0.25,0,0.25,0.5] + h_mean, psi=0.7, 2x ray-step
+    multiplier, EMA generator, grid save;
+  * trajectory video rendering (`exp/cips3d/models/st_web.py:289-486`,
+    `scripts/web_demo.py:94-191`): frames along a circle/translate/yaw camera
+    path with an optional fov ramp, rendered via the explicit-camera forward
+    (`generator.py:1828-1951`);
+  * `forward_points` chunked inference (`generator.py:1406-1473`): pixel-chunked
+    no-grad rendering for large images, implemented as `lax.map` over ray
+    chunks (rays are independent; VMEM-friendly).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cips3d_tpu.core import rays as rays_lib
+from cips3d_tpu.core import trajectories
+from cips3d_tpu.eval.images import save_image_grid, to_uint8
+from cips3d_tpu.models.generator import (
+    GeneratorNerfINR,
+    RenderOptions,
+    sample_zs,
+    truncate_styles,
+)
+
+
+def render_chunked(
+    params,
+    generator: GeneratorNerfINR,
+    style_dict,
+    opts: RenderOptions,
+    key: jax.Array,
+    forward_points: int = 256 ** 2,
+    camera_pos: Optional[jnp.ndarray] = None,
+    camera_lookup: Optional[jnp.ndarray] = None,
+    up_vector: Optional[jnp.ndarray] = None,
+) -> np.ndarray:
+    """Render one batch at ``opts.img_size`` in pixel chunks of
+    ``forward_points`` (the `forward_points` staged-inference path).
+
+    Returns (b, 3, H, W) float images in [-1, 1].
+    """
+    h = w = opts.img_size
+    num_points = h * w
+    chunk = min(forward_points, num_points)
+    while num_points % chunk:
+        chunk -= 1
+    n_chunks = num_points // chunk
+    b = next(iter(style_dict.values())).shape[0]
+
+    k_rays, k_pts = jax.random.split(key)
+    world = rays_lib.get_world_points_and_direction(
+        k_rays,
+        batch_size=b,
+        num_steps=opts.num_steps,
+        img_size=opts.img_size,
+        fov=opts.fov,
+        ray_start=opts.ray_start,
+        ray_end=opts.ray_end,
+        h_stddev=opts.h_stddev,
+        v_stddev=opts.v_stddev,
+        h_mean=opts.h_mean,
+        v_mean=opts.v_mean,
+        sample_dist=opts.sample_dist,
+        lock_view_dependence=opts.lock_view_dependence,
+        camera_pos=camera_pos,
+        camera_lookup=camera_lookup,
+        up_vector=up_vector,
+        perturb=True,
+    )
+
+    def render_chunk(args):
+        idx, k = args
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, idx * chunk, chunk, axis=1)
+        sub = rays_lib.WorldRays(
+            points=sl(world.points),
+            dirs_expanded=sl(world.dirs_expanded),
+            origins=sl(world.origins),
+            dirs=sl(world.dirs),
+            z_vals=sl(world.z_vals),
+            pitch=world.pitch,
+            yaw=world.yaw,
+        )
+        img, _ = generator.apply(
+            params, style_dict, sub, opts, k, method=generator.points_forward
+        )
+        return img  # (b, chunk, 3)
+
+    keys = jax.random.split(k_pts, n_chunks)
+    chunks = jax.lax.map(render_chunk, (jnp.arange(n_chunks), keys))  # (n_chunks, b, chunk, 3)
+    flat = jnp.transpose(chunks, (1, 0, 2, 3)).reshape(b, num_points, 3)
+    return np.asarray(flat.transpose(0, 2, 1).reshape(b, 3, h, w))
+
+
+def compute_styles(params, generator, zs, psi: float = 1.0, avg_key=None, avg_samples=2000):
+    """Mapping + optional truncation (host helper)."""
+    styles = generator.apply(params, zs["z_nerf"], zs["z_inr"], method=generator.mapping)
+    if psi < 1.0:
+        k = avg_key if avg_key is not None else jax.random.PRNGKey(0)
+        avg_zs = sample_zs(k, avg_samples, generator.cfg)
+        avg_styles = generator.apply(
+            params, avg_zs["z_nerf"], avg_zs["z_inr"], method=generator.mapping
+        )
+        avg_styles = {k2: jnp.mean(v, 0, keepdims=True) for k2, v in avg_styles.items()}
+        styles = truncate_styles(styles, avg_styles, psi)
+    return styles
+
+
+def render_multiview(
+    params,
+    generator: GeneratorNerfINR,
+    out_path: str,
+    seeds: Sequence[int] = (0, 1, 2, 3),
+    yaw_offsets: Sequence[float] = (-0.5, -0.25, 0.0, 0.25, 0.5),
+    img_size: int = 64,
+    num_steps: int = 12,
+    psi: float = 0.7,
+    ray_step_multiplier: int = 2,
+    fov: float = 12.0,
+) -> np.ndarray:
+    """pi-GAN's multiview grid (`render_multiview_images.py:67-86`): for each
+    seed, render the same z at several yaws; save one grid row per seed."""
+    base = RenderOptions(
+        img_size=img_size,
+        num_steps=num_steps * ray_step_multiplier,
+        fov=fov,
+        h_stddev=0.0,
+        v_stddev=0.0,
+        psi=psi,
+    )
+    rows = []
+    for seed in seeds:
+        zs = sample_zs(jax.random.PRNGKey(seed), 1, generator.cfg)
+        styles = compute_styles(params, generator, zs, psi=psi)
+        for off in yaw_offsets:
+            opts = dataclasses.replace(base, h_mean=math.pi * 0.5 + off)
+            img = render_chunked(
+                params, generator, styles, opts, jax.random.PRNGKey(seed * 997 + 13)
+            )
+            rows.append(img[0])
+    grid = np.stack(rows)
+    if out_path:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        save_image_grid(grid, out_path, nrow=len(yaw_offsets))
+    return grid
+
+
+TRAJECTORY_MODES = ("circle", "circle_near_far", "yaw", "translate_circle_near_far", "translate_rotate")
+
+
+def build_trajectory(mode: str, num_frames: int, periods: int = 2, alpha_pidiv: float = 15.0):
+    """Camera path for a demo video (`st_web.py` trajectory_mode options).
+
+    Returns (xyz, lookup, up or None) arrays of length >= num_frames.
+    """
+    alpha = math.pi / alpha_pidiv
+    if mode in ("circle", "circle_near_far"):
+        xyz, lookup, _, _ = trajectories.get_circle_camera_pos_and_lookup(
+            alpha=alpha, num_samples=num_frames // max(1, periods), periods=periods
+        )
+        return xyz, lookup, None
+    if mode == "yaw":
+        xyz, lookup, _, _ = trajectories.get_yaw_camera_pos_and_lookup(num_samples=num_frames)
+        return xyz, lookup, None
+    if mode == "translate_circle_near_far":
+        xyz, lookup, _, _, _ = trajectories.get_translate_circle_camera_pos_and_lookup(
+            num_samples_translate=num_frames // 3, alpha=alpha,
+            num_samples=num_frames // max(1, periods), periods=periods,
+        )
+        return xyz, lookup, None
+    if mode == "translate_rotate":
+        xyz, lookup, up, _, _, _ = trajectories.get_translate_rotate(
+            num_samples_translate=num_frames // 3, alpha=alpha,
+            num_samples=num_frames, periods=1,
+        )
+        return xyz, lookup, up
+    raise ValueError(f"unknown trajectory mode {mode!r}; options: {TRAJECTORY_MODES}")
+
+
+def render_trajectory_video(
+    params,
+    generator: GeneratorNerfINR,
+    out_dir: str,
+    seed: int = 0,
+    mode: str = "circle",
+    num_frames: int = 30,
+    img_size: int = 128,
+    num_steps: int = 24,
+    psi: float = 1.0,
+    fov: float = 12.0,
+    max_fov: Optional[float] = None,
+    fps: int = 40,
+    forward_points: int = 256 ** 2,
+) -> list:
+    """Render a camera-trajectory video for one seed
+    (`st_web.py:289-486` / `web_demo.py:94-191`).  Saves PNG frames (and an
+    mp4 when imageio+ffmpeg are available); returns the frame file list."""
+    os.makedirs(out_dir, exist_ok=True)
+    xyz, lookup, up = build_trajectory(mode, num_frames)
+    zs = sample_zs(jax.random.PRNGKey(seed), 1, generator.cfg)
+    styles = compute_styles(params, generator, zs, psi=psi)
+
+    # fov ramp for the *_near_far modes (`web_demo.py:110-127`)
+    if max_fov is not None and mode.endswith("near_far"):
+        half = len(xyz) // 2
+        fovs = np.concatenate([np.linspace(fov, max_fov, half), np.linspace(max_fov, fov, len(xyz) - half)])
+    else:
+        fovs = np.full(len(xyz), fov)
+
+    frames = []
+    for i in range(min(num_frames, len(xyz))):
+        opts = RenderOptions(
+            img_size=img_size, num_steps=num_steps, fov=float(fovs[i]),
+            h_stddev=0.0, v_stddev=0.0, psi=psi,
+        )
+        img = render_chunked(
+            params, generator, styles, opts, jax.random.PRNGKey(seed * 31 + i),
+            forward_points=forward_points,
+            camera_pos=jnp.asarray(xyz[i: i + 1]),
+            camera_lookup=jnp.asarray(lookup[i: i + 1]),
+            up_vector=jnp.asarray(up[i: i + 1]) if up is not None else None,
+        )
+        path = os.path.join(out_dir, f"frame_{i:04d}.png")
+        from PIL import Image
+
+        Image.fromarray(to_uint8(img[0])).save(path)
+        frames.append(path)
+
+    _maybe_write_mp4(frames, os.path.join(out_dir, "video.mp4"), fps)
+    return frames
+
+
+def _maybe_write_mp4(frames, out_path, fps):
+    try:  # pragma: no cover - optional dependency
+        import imageio
+
+        with imageio.get_writer(out_path, fps=fps) as w:
+            from PIL import Image
+
+            for f in frames:
+                w.append_data(np.asarray(Image.open(f)))
+    except Exception:
+        pass

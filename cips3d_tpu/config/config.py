@@ -68,11 +68,21 @@ def deep_merge(base: dict, override: dict) -> dict:
 
 
 def _parse_value(s: str) -> Any:
-    """YAML-parse a CLI override value ('true' → True, '1e-4' → float, ...)."""
+    """YAML-parse a CLI override value ('true' → True, '1e-4' → float, ...).
+
+    YAML 1.1 doesn't recognize bare scientific notation like '1e-5' (needs
+    '1e-05' or a dot), so try a plain float parse first for number-likes.
+    """
     try:
-        return yaml.safe_load(s)
+        out = yaml.safe_load(s)
     except yaml.YAMLError:
         return s
+    if isinstance(out, str):
+        try:
+            return float(out)
+        except ValueError:
+            return out
+    return out
 
 
 def apply_dotted_overrides(node: dict, opts: List[str]) -> dict:

@@ -160,11 +160,12 @@ class Discriminator(nn.Module):
     channel_multiplier: int = 2
     n_first_layers: int = 0
     stddev_group: int = 4
+    channels_override: Optional[Dict[int, int]] = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        channels = stylegan2_channels(self.channel_multiplier)
+        channels = self.channels_override or stylegan2_channels(self.channel_multiplier)
         out = ConvLayer(channels[self.size], 1, dtype=self.dtype, name="conv_in")(x)
         for i in range(self.n_first_layers):
             out = ConvLayer(channels[self.size], 3, dtype=self.dtype, name=f"first_{i}")(out)
@@ -194,12 +195,18 @@ class DiscriminatorMultiScale(nn.Module):
     first_downsample: bool = False
     stddev_group: int = 0
     use_aux_channels: bool = False
+    channels_override: Optional[Dict[int, int]] = None
     dtype: Any = jnp.float32
 
     def setup(self):
-        channels = (
-            aux_channels(2) if self.use_aux_channels else stylegan2_channels(self.channel_multiplier)
-        )
+        # custom channel table, mirroring the reference's ``channels`` kwarg
+        # (`discriminator.py:417,440`)
+        if self.channels_override is not None:
+            channels = dict(self.channels_override)
+        else:
+            channels = (
+                aux_channels(2) if self.use_aux_channels else stylegan2_channels(self.channel_multiplier)
+            )
         self._channels = channels
         conv_in = {}
         for res in channels:
@@ -293,6 +300,7 @@ class DiscriminatorMultiScaleAux(nn.Module):
     channel_multiplier: int = 2
     first_downsample: bool = False
     stddev_group: int = 0
+    channels_override: Optional[Dict[int, int]] = None
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -302,6 +310,7 @@ class DiscriminatorMultiScaleAux(nn.Module):
             channel_multiplier=self.channel_multiplier,
             first_downsample=self.first_downsample,
             stddev_group=self.stddev_group,
+            channels_override=self.channels_override,
             dtype=self.dtype,
         )
         self.aux_disc = DiscriminatorMultiScale(
@@ -310,6 +319,7 @@ class DiscriminatorMultiScaleAux(nn.Module):
             first_downsample=True,
             stddev_group=self.stddev_group,
             use_aux_channels=True,
+            channels_override=self.channels_override,
             dtype=self.dtype,
         )
 

@@ -69,24 +69,25 @@ def upfirdn2d_general(
     kh, kw = kernel.shape
     kernel = kernel.astype(x.dtype)
 
-    # Depthwise conv: rhs (C_out=C, C_in/groups=1, kh, kw), groups=C.
-    # The reference correlates with flip(kernel); replicate exactly.
-    rhs = jnp.broadcast_to(jnp.flip(kernel, (0, 1))[None, None], (c, 1, kh, kw))
+    # Single-channel conv on (N*C, 1, H, W): the same FIR filter applies to
+    # every channel, and folding channels into the batch avoids grouped
+    # convolution (feature_group_count=C compiles poorly on some backends and
+    # buys nothing here — the filter is shared).
+    rhs = jnp.flip(kernel, (0, 1))[None, None]  # (1, 1, kh, kw)
 
     # XLA lhs_dilation inserts zeros only *between* elements (length
     # in*up - (up-1)); the spec zero-stuffs to in*up (trailing zeros), so the
     # missing up-1 zeros go into the high-side padding.
     out = lax.conv_general_dilated(
-        x,
+        x.reshape(n * c, 1, h, w),
         rhs,
         window_strides=(down_y, down_x),
         padding=((pad_y0, pad_y1 + up_y - 1), (pad_x0, pad_x1 + up_x - 1)),
         lhs_dilation=(up_y, up_x),
         rhs_dilation=(1, 1),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=c,
     )
-    return out
+    return out.reshape(n, c, out.shape[2], out.shape[3])
 
 
 def blur_pad_down(kernel_1d: Sequence[float], kernel_size: int, factor: int = 2) -> Tuple[int, int]:

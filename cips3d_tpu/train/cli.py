@@ -1,0 +1,69 @@
+"""Training CLI: resolve a YAML command node and run the loop.
+
+Replaces the reference's unittest-launcher + bash-recipe entry chain
+(`exp/tests/test_cips3d.py:844-946` → `exp/cips3d/scripts/train.py:581-609`)
+with a single command:
+
+    python -m cips3d_tpu.train.cli --config configs/ffhq.yaml \
+        --command train_r32 [--opts key value ...] [--debug]
+
+``--debug`` shrinks the run to a 2-step smoke test (the `tl_debug` analogue,
+`exp/tests/test_cips3d.py:917-921`).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from cips3d_tpu.config.config import dump_config, parse_args, resolve_command
+from cips3d_tpu.models.generator import GeneratorConfig, RenderOptions
+from cips3d_tpu.train.loop import LoopConfig, train
+from cips3d_tpu.train.state import TrainConfig
+
+
+def config_to_dataclasses(cfg):
+    """Split a resolved config node into the typed configs."""
+    g = cfg.generator.to_dict()
+    gen_cfg = GeneratorConfig(**g)
+
+    r = cfg.render.to_dict()
+    hierarchical = r.pop("hierarchical_sample", True)
+    opts = RenderOptions(
+        img_size=cfg.img_size, hierarchical_sample=hierarchical, **r
+    )
+
+    tc_fields = {f for f in TrainConfig.__dataclass_fields__}
+    tc = {k: v for k, v in cfg.to_dict().items() if k in tc_fields}
+    train_cfg = TrainConfig(**tc)
+
+    lc_fields = {f for f in LoopConfig.__dataclass_fields__}
+    lc = {k: v for k, v in cfg.to_dict().items() if k in lc_fields}
+    loop_cfg = LoopConfig(**lc)
+    return gen_cfg, train_cfg, opts, loop_cfg
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = resolve_command(args.config, args.command, args.opts)
+    gen_cfg, train_cfg, opts, loop_cfg = config_to_dataclasses(cfg)
+    if args.debug:
+        loop_cfg.debug = True
+    loop_cfg.outdir = cfg.get("outdir", args.outdir) + f"/{args.command}"
+
+    print(f"resolved config:\n{dump_config(cfg)}", flush=True)
+    train(
+        gen_cfg,
+        train_cfg,
+        opts,
+        loop_cfg,
+        disc_kwargs=cfg.discriminator.to_dict(),
+        resume=bool(cfg.get("resume", False)),
+        finetune_dir=cfg.get("finetune_dir") if cfg.get("load_finetune", False) else None,
+        load_nerf_ema=bool(cfg.get("load_nerf_ema", False)),
+        reset_best_fid=bool(cfg.get("reset_best_fid", False)),
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -80,6 +80,8 @@ def clip_and_guard(grads, max_norm: float):
     norm = global_norm(grads)
     finite = jnp.isfinite(norm)
     coef = jnp.minimum(1.0, max_norm / (norm + 1e-6))
-    safe_coef = jnp.where(finite, coef, 0.0)
-    clipped = jax.tree_util.tree_map(lambda g: g * safe_coef, grads)
+    # select (not multiply): nan * 0 is still nan
+    clipped = jax.tree_util.tree_map(
+        lambda g: jnp.where(finite, g * coef, jnp.zeros_like(g)), grads
+    )
     return clipped, norm, finite

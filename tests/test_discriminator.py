@@ -1,8 +1,14 @@
-"""Discriminator stack tests (reference: exp/cips3d/models/discriminator.py)."""
+"""Discriminator stack tests (reference: exp/cips3d/models/discriminator.py).
+
+Uses a narrow channel table (the reference's custom-``channels`` feature,
+`discriminator.py:417,440`) and module-scoped fixtures — this box has one CPU
+core, so traces/compiles dominate and must be shared.
+"""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cips3d_tpu.models.discriminator import (
     ConvLayer,
@@ -14,14 +20,30 @@ from cips3d_tpu.models.discriminator import (
     stylegan2_channels,
 )
 
+TINY = {4: 16, 8: 16, 16: 16, 32: 16, 64: 16, 128: 16, 256: 16, 512: 16, 1024: 16}
+RNG = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module")
+def ms():
+    m = DiscriminatorMultiScale(max_size=64, channels_override=TINY)
+    params = m.init(RNG, jnp.zeros((2, 3, 8, 8)), method=m.init_all)
+    return m, params
+
+
+@pytest.fixture(scope="module")
+def msa():
+    m = DiscriminatorMultiScaleAux(max_size=32, channels_override=TINY)
+    params = m.init(RNG, jnp.zeros((2, 3, 8, 8)), method=m.init_all)
+    return m, params
+
 
 class TestConvLayer:
     def test_same_resolution(self, rng):
         m = ConvLayer(8, 3)
         x = jax.random.normal(rng, (2, 3, 16, 16))
         params = m.init(rng, x)
-        out = m.apply(params, x)
-        assert out.shape == (2, 8, 16, 16)
+        assert m.apply(params, x).shape == (2, 8, 16, 16)
 
     def test_downsample_halves(self, rng):
         m = ConvLayer(8, 3, downsample=True)
@@ -50,55 +72,48 @@ class TestResBlock:
         assert m.apply(params, x).shape == (2, 16, 8, 8)
 
 
-class TestDiscriminator:
+class TestFixedDiscriminator:
     def test_fixed_size(self, rng):
-        m = Discriminator(size=32, channel_multiplier=1)
-        x = jax.random.normal(rng, (4, 3, 32, 32))
+        m = Discriminator(size=16, channels_override=TINY)
+        x = jax.random.normal(rng, (4, 3, 16, 16))
         params = m.init(rng, x)
-        out = m.apply(params, x)
-        assert out.shape == (4, 1)
+        assert m.apply(params, x).shape == (4, 1)
 
 
 class TestMultiScale:
-    def _make(self, rng, **kw):
-        m = DiscriminatorMultiScale(max_size=64, **kw)
-        params = m.init(rng, jnp.zeros((2, 3, 8, 8)), method=m.init_all)
-        return m, params
+    def test_multi_resolution_same_params(self, ms):
+        m, params = ms
+        for size in (16, 64):
+            x = jax.random.normal(RNG, (2, 3, size, size))
+            assert m.apply(params, x, 1.0).shape == (2, 1), size
 
-    def test_multi_resolution_same_params(self, rng):
-        m, params = self._make(rng)
-        for size in (8, 16, 32, 64):
-            x = jax.random.normal(rng, (2, 3, size, size))
-            out = m.apply(params, x, 1.0)
-            assert out.shape == (2, 1), size
-
-    def test_alpha_blending(self, rng):
-        m, params = self._make(rng)
-        x = jax.random.normal(rng, (2, 3, 32, 32))
+    def test_alpha_blending(self, ms):
+        m, params = ms
+        x = jax.random.normal(RNG, (2, 3, 32, 32))
         full = m.apply(params, x, 1.0)
         half = m.apply(params, x, 0.0)
         mid = m.apply(params, x, 0.5)
         assert not np.allclose(np.asarray(full), np.asarray(half))
         assert np.all(np.isfinite(np.asarray(mid)))
 
-    def test_alpha_one_matches_no_fadein(self, rng):
-        m, params = self._make(rng)
-        x = jax.random.normal(rng, (2, 3, 16, 16))
+    def test_alpha_one_matches_no_fadein(self, ms):
+        m, params = ms
+        x = jax.random.normal(RNG, (2, 3, 32, 32))
         a = m.apply(params, x, 1.0, fade_in=True)
         b = m.apply(params, x, 1.0, fade_in=False)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
     def test_stddev_group(self, rng):
-        m = DiscriminatorMultiScale(max_size=32, stddev_group=4)
+        m = DiscriminatorMultiScale(max_size=16, stddev_group=4, channels_override=TINY)
         params = m.init(rng, jnp.zeros((4, 3, 8, 8)), method=m.init_all)
-        x = jax.random.normal(rng, (4, 3, 32, 32))
+        x = jax.random.normal(rng, (4, 3, 16, 16))
         assert m.apply(params, x, 1.0).shape == (4, 1)
 
-    def test_r1_grad_through_d(self, rng):
-        """R1: grad of D(x).sum() w.r.t. x, then grad of its norm w.r.t.
-        params — the double-backward path through blur/conv must be finite."""
-        m, params = self._make(rng)
-        x = jax.random.normal(rng, (2, 3, 16, 16))
+    def test_r1_grad_through_d(self, ms):
+        """R1 needs grad-of-grad through the blur stack; both orders must be
+        finite and nonzero."""
+        m, params = ms
+        x = jax.random.normal(RNG, (2, 3, 16, 16))
 
         def r1(params, x):
             g = jax.grad(lambda xx: jnp.sum(m.apply(params, xx, 1.0)))(x)
@@ -112,14 +127,12 @@ class TestMultiScale:
 
 
 class TestMultiScaleAux:
-    def test_aux_split(self, rng):
-        m = DiscriminatorMultiScaleAux(max_size=32)
-        params = m.init(rng, jnp.zeros((2, 3, 8, 8)), method=m.init_all)
-        x = jax.random.normal(rng, (4, 3, 16, 16))
+    def test_aux_split(self, msa):
+        m, params = msa
+        x = jax.random.normal(RNG, (4, 3, 16, 16))
         out = m.apply(params, x, 1.0, use_aux_disc=True)
         assert out.shape == (4, 1)
         out2 = m.apply(params, x[:2], 1.0, use_aux_disc=False)
-        # main disc on the first half must agree
         np.testing.assert_allclose(np.asarray(out[:2]), np.asarray(out2), atol=1e-5)
 
     def test_channel_tables(self):
@@ -127,8 +140,8 @@ class TestMultiScaleAux:
         assert aux_channels(2)[64] == 256
         assert stylegan2_channels(2)[4] == 512
 
-    def test_diffaug_enabled(self, rng):
-        m = DiscriminatorMultiScaleAux(max_size=16, diffaug=True)
+    def test_diffaug_changes_output(self, rng):
+        m = DiscriminatorMultiScaleAux(max_size=16, diffaug=True, channels_override=TINY)
         params = m.init(rng, jnp.zeros((2, 3, 8, 8)), method=m.init_all)
         x = jax.random.normal(rng, (2, 3, 16, 16))
         a = m.apply(params, x, 1.0, diffaug_key=rng)

@@ -24,13 +24,14 @@ GCFG = GeneratorConfig(
     inr_mapping_layers=2,
 )
 OPTS = RenderOptions(img_size=8, num_steps=3)
+TINY = {4: 16, 8: 16, 16: 16, 32: 16, 64: 16, 128: 16, 256: 16, 512: 16, 1024: 16}
 TCFG = TrainConfig(img_size=8, batch_size=2, grad_points=None, ema_start_itr=1)
 
 
 @pytest.fixture(scope="module")
 def setup():
     gen = GeneratorNerfINR(cfg=GCFG)
-    disc = DiscriminatorMultiScaleAux(max_size=16)
+    disc = DiscriminatorMultiScaleAux(max_size=16, channels_override=TINY)
     key = jax.random.PRNGKey(0)
     state = init_train_state(key, gen, disc, TCFG, OPTS)
     return gen, disc, state

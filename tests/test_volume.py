@@ -78,7 +78,10 @@ class TestVolumeRender:
         np.testing.assert_allclose(rgb[0, 0], [0.2, 0.4, 0.6], atol=1e-6)
 
     def test_softplus_clamp(self):
-        rgb_sigma = jnp.ones((1, 1, 2, 4)) * 0.3
+        # distinct rgb per sample so the weighting actually shows up
+        rgb_sigma = jnp.stack(
+            [jnp.array([1.0, 0, 0, 0.3]), jnp.array([0, 1.0, 0, 0.3])]
+        )[None, None]
         z_vals = jnp.array([0.5, 1.0])[None, None, :, None]
         rgb_r, _, _ = volume.volume_render(rgb_sigma, z_vals, noise_std=0.0, clamp_mode="relu")
         rgb_s, _, _ = volume.volume_render(rgb_sigma, z_vals, noise_std=0.0, clamp_mode="softplus")
@@ -100,8 +103,10 @@ class TestVolumeRender:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
     def test_differentiable(self):
+        rgbs = jnp.arange(12, dtype=jnp.float32).reshape(1, 1, 4, 3)
+
         def loss(sig):
-            rgb_sigma = jnp.concatenate([jnp.ones((1, 1, 4, 3)), sig], axis=-1)
+            rgb_sigma = jnp.concatenate([rgbs, sig], axis=-1)
             z_vals = jnp.linspace(0.5, 2.0, 4)[None, None, :, None]
             rgb, _, _ = volume.volume_render(rgb_sigma, z_vals, noise_std=0.0)
             return jnp.sum(rgb)
