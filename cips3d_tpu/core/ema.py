@@ -29,5 +29,9 @@ def ema_update(ema_params, params, step, decay: float = 0.999, start_itr: int = 
 
 
 def ema_copy(params):
-    """Fresh EMA state = copy of source (`comm_model_utils.py:79-95`)."""
-    return jax.tree_util.tree_map(lambda p: p, params)
+    """Fresh EMA state = deep copy of source (`comm_model_utils.py:79-95`).
+
+    Real buffer copies — the EMA tree must not alias the source (jit buffer
+    donation rejects the same buffer appearing twice).
+    """
+    return jax.tree_util.tree_map(jnp.copy, params)

@@ -246,5 +246,7 @@ def init_train_state(
         d_params=d_params,
         g_opt=g_tx.init(g_params),
         d_opt=d_tx.init(d_params),
-        ema_params=jax.tree_util.tree_map(lambda p: p, g_params),
+        # real copies: EMA must not alias G's buffers (donation would see the
+        # same buffer twice)
+        ema_params=jax.tree_util.tree_map(jnp.copy, g_params),
     )

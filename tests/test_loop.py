@@ -1,0 +1,84 @@
+"""End-to-end host-loop smoke test: synthetic zip dataset → 2 train steps →
+eval (surrogate FID) → checkpoints (reference flow:
+exp/cips3d/scripts/train.py:209-578 in tl_debug mode)."""
+
+import dataclasses
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from cips3d_tpu.data.zip_dataset import write_stylegan_zip
+from cips3d_tpu.models.generator import GeneratorConfig, RenderOptions
+from cips3d_tpu.train.loop import LoopConfig, train
+from cips3d_tpu.train.state import TrainConfig
+
+TINY = {r: 16 for r in (4, 8, 16, 32, 64, 128, 256, 512, 1024)}
+GCFG = GeneratorConfig(
+    z_dim_nerf=16, z_dim_inr=32, nerf_hidden_dim=16, nerf_style_dim=16,
+    nerf_mapping_layers=2, inr_hidden_dim=32, inr_style_dim=32, inr_mapping_layers=2,
+)
+
+
+@pytest.fixture(scope="module")
+def data_zip(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("data") / "d.zip")
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 255, (8, 8, 3), dtype=np.uint8) for _ in range(8)]
+    write_stylegan_zip(p, imgs)
+    return p
+
+
+class TestTrainLoopSmoke:
+    def test_debug_run(self, data_zip, tmp_path):
+        outdir = str(tmp_path / "run")
+        tcfg = TrainConfig(
+            img_size=8, batch_size=1, grad_points=None, total_iters=2, ema_start_itr=1
+        )
+        opts = RenderOptions(img_size=8, num_steps=3)
+        lcfg = LoopConfig(
+            outdir=outdir,
+            data_path=data_zip,
+            log_every=1,
+            eval_every=2,
+            fixed_z_bs=2,
+            num_workers=1,
+            debug=True,
+        )
+        state = train(
+            GCFG,
+            tcfg,
+            opts,
+            lcfg,
+            disc_kwargs={"max_size": 16, "channels_override": TINY},
+            n_devices=2,
+        )
+        assert int(state.step) == 2
+        # checkpoint trees written
+        assert os.path.isdir(os.path.join(outdir, "ckptdir", "resume"))
+        assert os.path.isdir(os.path.join(outdir, "ckptdir", "best_fid"))
+        # textlogger wrote train metrics
+        logs = os.listdir(os.path.join(outdir, "textdir"))
+        assert any("d_loss" in f for f in logs)
+        assert any("FID" in f for f in logs)
+        # fid image dirs populated
+        assert len(os.listdir(os.path.join(outdir, "fid", "real"))) > 0
+        assert len(os.listdir(os.path.join(outdir, "fid", "fake"))) > 0
+
+    def test_resume(self, data_zip, tmp_path):
+        outdir = str(tmp_path / "run2")
+        tcfg = TrainConfig(
+            img_size=8, batch_size=1, grad_points=None, total_iters=2, ema_start_itr=1
+        )
+        opts = RenderOptions(img_size=8, num_steps=3)
+        lcfg = LoopConfig(
+            outdir=outdir, data_path=data_zip, log_every=1, eval_every=2,
+            fixed_z_bs=2, num_workers=1, debug=True,
+        )
+        kwargs = dict(disc_kwargs={"max_size": 16, "channels_override": TINY}, n_devices=2)
+        train(GCFG, tcfg, opts, lcfg, **kwargs)
+        # resume: loads step 2; with total=2 (debug) the loop body is a no-op
+        lcfg2 = dataclasses.replace(lcfg)
+        state = train(GCFG, tcfg, opts, lcfg2, resume=True, **kwargs)
+        assert int(state.step) >= 2
