@@ -37,30 +37,45 @@ def main():
     key = jax.random.PRNGKey(0)
     print("initializing...", file=sys.stderr)
     state = init_train_state(key, gen, disc, tcfg, opts)
-    step_fn = jax.jit(make_train_step(gen, disc, tcfg, opts, aux_reg=True), donate_argnums=(0,))
+    step_fn = make_train_step(gen, disc, tcfg, opts, aux_reg=True)
 
     real = jax.random.uniform(key, (batch, 3, img_size, img_size)) * 2 - 1
 
+    # Device-side multi-step loop: lax.scan over K steps inside ONE
+    # executable.  This measures true chip throughput — per-dispatch host
+    # round-trips (large through the dev tunnel) are amortized away, which is
+    # also how a production loop would run (device-prefetched batches).
+    K = 50
+
+    def run_k(state, real, key):
+        def body(carry, i):
+            st, _ = carry
+            st, metrics = step_fn(st, real, jax.random.fold_in(key, i))
+            return (st, metrics["d_loss"]), None
+
+        (state, last_loss), _ = jax.lax.scan(
+            body, (state, jnp.zeros(())), jnp.arange(K)
+        )
+        return state, last_loss
+
+    run_k = jax.jit(run_k, donate_argnums=(0,))
+
     print("compiling...", file=sys.stderr)
     t0 = time.time()
-    state, metrics = step_fn(state, real, key)
-    jax.block_until_ready(metrics)
-    print(f"compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
+    state, loss = run_k(state, real, key)
+    jax.block_until_ready(loss)
+    print(f"compile+first {K} steps: {time.time() - t0:.1f}s  d_loss={float(loss):.4f}", file=sys.stderr)
 
-    # warmup
-    for i in range(3):
-        state, metrics = step_fn(state, real, jax.random.fold_in(key, i))
-    jax.block_until_ready(metrics)
-
-    n_steps = 20
+    n_calls = 4
     t0 = time.time()
-    for i in range(n_steps):
-        state, metrics = step_fn(state, real, jax.random.fold_in(key, 100 + i))
-    jax.block_until_ready(metrics)
+    for i in range(n_calls):
+        state, loss = run_k(state, real, jax.random.fold_in(key, i))
+    jax.block_until_ready(loss)
     dt = time.time() - t0
 
+    n_steps = K * n_calls
     imgs_per_sec = n_steps * batch / dt
-    print(f"{n_steps} steps in {dt:.2f}s", file=sys.stderr)
+    print(f"{n_steps} steps in {dt:.2f}s  d_loss={float(loss):.4f}", file=sys.stderr)
     print(
         json.dumps(
             {
