@@ -1,0 +1,97 @@
+"""FID machinery tests: statistics, Fréchet distance, KID, image-dir
+protocol, and the InceptionV3 architecture (structural — pretrained weights
+are unavailable in this environment).
+
+Reference: exp/cips3d/scripts/eval_fid.py:36-57; torch-fidelity protocol.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from cips3d_tpu.eval.fid import (
+    activation_statistics,
+    eval_fid,
+    frechet_distance,
+    kid_mmd,
+    surrogate_extractor,
+)
+
+
+class TestFrechet:
+    def test_identical_distributions_zero(self):
+        rng = np.random.default_rng(0)
+        f = rng.standard_normal((500, 16))
+        mu, sigma = activation_statistics(f)
+        assert abs(frechet_distance(mu, sigma, mu, sigma)) < 1e-6
+
+    def test_mean_shift(self):
+        """For equal covariance, FID == |mu1 - mu2|^2."""
+        rng = np.random.default_rng(0)
+        f = rng.standard_normal((2000, 8))
+        mu, sigma = activation_statistics(f)
+        shift = np.full(8, 0.5)
+        d = frechet_distance(mu, sigma, mu + shift, sigma)
+        np.testing.assert_allclose(d, float(shift @ shift), rtol=1e-5)
+
+    def test_known_1d_gaussians(self):
+        """1-D: FID = (m1-m2)^2 + (s1-s2)^2."""
+        d = frechet_distance(np.array([0.0]), np.array([[4.0]]), np.array([3.0]), np.array([[1.0]]))
+        np.testing.assert_allclose(d, 9.0 + (2.0 - 1.0) ** 2, rtol=1e-6)
+
+    def test_separated_sets_larger(self):
+        rng = np.random.default_rng(1)
+        a = rng.standard_normal((500, 8))
+        b = rng.standard_normal((500, 8)) + 2.0
+        c = rng.standard_normal((500, 8)) + 0.1
+        fid_far = frechet_distance(*activation_statistics(a), *activation_statistics(b))
+        fid_near = frechet_distance(*activation_statistics(a), *activation_statistics(c))
+        assert fid_far > fid_near > 0
+
+
+class TestKid:
+    def test_identical_vs_shifted(self):
+        """Unbiased MMD on identical sets is near 0 (estimator noise
+        ~ kernel_scale/m); a mean shift dominates it by an order of
+        magnitude."""
+        rng = np.random.default_rng(0)
+        a = rng.standard_normal((400, 8))
+        b = rng.standard_normal((400, 8)) + 1.0
+        same = kid_mmd(a, a.copy(), subset_size=200, n_subsets=10)
+        shifted = kid_mmd(a, b, subset_size=200, n_subsets=10)
+        assert abs(same) < 0.1
+        assert shifted > 10 * abs(same)
+
+
+class TestEvalFid:
+    def test_dir_protocol(self, tmp_path):
+        from PIL import Image
+
+        rng = np.random.default_rng(0)
+        for name, shift in (("real", 0), ("fake", 0), ("fake2", 80)):
+            d = tmp_path / name
+            d.mkdir()
+            for i in range(24):
+                arr = np.clip(rng.integers(0, 175, (16, 16, 3)) + shift, 0, 255).astype(np.uint8)
+                Image.fromarray(arr).save(d / f"{i}.png")
+        ext = surrogate_extractor(dim=16)
+        same = eval_fid(str(tmp_path / "real"), str(tmp_path / "fake"), extractor=ext)
+        diff = eval_fid(str(tmp_path / "real"), str(tmp_path / "fake2"), extractor=ext, kid=True)
+        assert diff["FID"] > same["FID"]
+        assert "KID" in diff
+
+
+class TestInceptionArchitecture:
+    @pytest.mark.slow
+    def test_forward_shapes(self):
+        """Structural check: random-weight InceptionV3 maps (n,3,299,299) →
+        (n,2048).  Marked slow (CPU compile of the full net)."""
+        from cips3d_tpu.eval.inception import inception_forward, random_params
+
+        params = random_params(jax.random.PRNGKey(0))
+        import jax.numpy as jnp
+
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 299, 299)) * 0.1
+        out = inception_forward(params, x)
+        assert out.shape == (1, 2048)
+        assert np.all(np.isfinite(np.asarray(out)))
