@@ -42,12 +42,25 @@ class ZipImageDataset:
         xflip: bool = False,
         max_size: Optional[int] = None,
         use_labels: bool = False,
+        use_native: bool = True,
     ):
         self.path = path
         self.resize_resolution = resize_resolution
         self.xflip = xflip
         self.use_labels = use_labels
         self._local = threading.local()
+
+        # optional native C++ reader (zip parse + PNG decode); PIL fallback
+        self._native = None
+        self._native_idx = {}
+        if use_native:
+            try:
+                from cips3d_tpu.native import NativeZipReader
+
+                self._native = NativeZipReader(path)
+                self._native_idx = {n: i for i, n in enumerate(self._native.names)}
+            except Exception:
+                self._native = None
 
         with zipfile.ZipFile(path) as zf:
             names = [n for n in zf.namelist() if n.lower().endswith(IMAGE_EXTS)]
@@ -84,13 +97,27 @@ class ZipImageDataset:
         """Returns (CHW uint8 image, label)."""
         flip = self.xflip and idx >= self._base_len
         base_idx = idx % self._base_len
-        data = self._zf().read(self._names[base_idx])
-        import io
+        name = self._names[base_idx]
 
-        img = Image.open(io.BytesIO(data)).convert("RGB")
-        if self.resize_resolution and img.size != (self.resize_resolution, self.resize_resolution):
-            img = img.resize((self.resize_resolution, self.resize_resolution), Image.LANCZOS)
-        arr = np.asarray(img, np.uint8)
+        arr = None
+        if self._native is not None and name.lower().endswith(".png"):
+            nidx = self._native_idx.get(name)
+            if nidx is not None:
+                try:
+                    arr = self._native.read_image(nidx)  # HWC RGB8
+                except IOError:
+                    arr = None  # unsupported PNG flavor → PIL fallback
+        if arr is None:
+            import io
+
+            data = self._zf().read(name)
+            arr = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), np.uint8)
+
+        if self.resize_resolution and arr.shape[:2] != (self.resize_resolution,) * 2:
+            img = Image.fromarray(arr).resize(
+                (self.resize_resolution, self.resize_resolution), Image.LANCZOS
+            )
+            arr = np.asarray(img, np.uint8)
         if flip:
             arr = arr[:, ::-1]
         arr = arr.transpose(2, 0, 1)  # CHW
