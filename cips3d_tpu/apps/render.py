@@ -167,8 +167,9 @@ def build_trajectory(mode: str, num_frames: int, periods: int = 2, alpha_pidiv: 
     """
     alpha = math.pi / alpha_pidiv
     if mode in ("circle", "circle_near_far"):
+        per_period = max(1, -(-num_frames // max(1, periods)))  # ceil
         xyz, lookup, _, _ = trajectories.get_circle_camera_pos_and_lookup(
-            alpha=alpha, num_samples=num_frames // max(1, periods), periods=periods
+            alpha=alpha, num_samples=per_period, periods=periods
         )
         return xyz, lookup, None
     if mode == "yaw":

@@ -1,0 +1,134 @@
+"""Smoke tests for the apps layer: multiview grid, trajectory video frames,
+model interpolation, z-interpolation, shape extraction (.mrc), inversion.
+
+References: exp/pigan/scripts/render_multiview_images.py, scripts/web_demo.py,
+exp/cips3d/models/st_web.py, exp/pigan/scripts/extract_shapes.py.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cips3d_tpu.models.generator import GeneratorConfig, GeneratorNerfINR, RenderOptions, sample_zs
+
+GCFG = GeneratorConfig(
+    z_dim_nerf=16, z_dim_inr=32, nerf_hidden_dim=16, nerf_style_dim=16,
+    nerf_mapping_layers=2, inr_hidden_dim=32, inr_style_dim=32, inr_mapping_layers=2,
+)
+
+
+@pytest.fixture(scope="module")
+def gen():
+    model = GeneratorNerfINR(cfg=GCFG)
+    key = jax.random.PRNGKey(0)
+    zs = sample_zs(key, 1, GCFG)
+    params = model.init(key, zs, key, RenderOptions(img_size=8, num_steps=3))
+    return model, params
+
+
+class TestRenderApps:
+    def test_render_chunked_matches_unchunked_shape(self, gen):
+        from cips3d_tpu.apps.render import compute_styles, render_chunked
+
+        model, params = gen
+        zs = sample_zs(jax.random.PRNGKey(1), 1, GCFG)
+        styles = compute_styles(params, model, zs, psi=1.0)
+        opts = RenderOptions(img_size=8, num_steps=3, h_stddev=0, v_stddev=0)
+        img = render_chunked(params, model, styles, opts, jax.random.PRNGKey(2), forward_points=16)
+        assert img.shape == (1, 3, 8, 8)
+        assert np.all(np.isfinite(img))
+
+    def test_multiview_grid(self, gen, tmp_path):
+        from cips3d_tpu.apps.render import render_multiview
+
+        model, params = gen
+        out = str(tmp_path / "grid.png")
+        grid = render_multiview(
+            params, model, out, seeds=(0,), yaw_offsets=(-0.3, 0.3),
+            img_size=8, num_steps=3, ray_step_multiplier=1, psi=0.7,
+        )
+        assert grid.shape == (2, 3, 8, 8)
+        assert os.path.exists(out)
+
+    def test_trajectory_video(self, gen, tmp_path):
+        from cips3d_tpu.apps.render import render_trajectory_video
+
+        model, params = gen
+        frames = render_trajectory_video(
+            params, model, str(tmp_path / "vid"), seed=0, mode="circle",
+            num_frames=3, img_size=8, num_steps=3,
+        )
+        assert len(frames) == 3
+        assert all(os.path.exists(f) for f in frames)
+
+    def test_z_interpolation(self, gen, tmp_path):
+        from cips3d_tpu.apps.z_interpolation import render_z_interpolation_video
+
+        model, params = gen
+        frames = render_z_interpolation_video(
+            params, model, str(tmp_path / "zi"), seeds=(0, 1), num_frames=2,
+            img_size=8, num_steps=3,
+        )
+        assert len(frames) == 4  # 2 seeds x 2 frames
+
+
+class TestInterpolation:
+    def test_layer_swapping_blends(self, gen):
+        from cips3d_tpu.apps.interpolation import inr_layer_swapping
+
+        model, params_a = gen
+        params_b = jax.tree_util.tree_map(lambda x: x + 1.0, params_a)
+        swapped = inr_layer_swapping(params_a, params_b, gamma=0.5, layers=("4",))
+        a4 = params_a["params"]["inr_net"]["block_4"]["mod1"]["weight"]
+        s4 = swapped["params"]["inr_net"]["block_4"]["mod1"]["weight"]
+        np.testing.assert_allclose(np.asarray(s4), np.asarray(a4) + 0.5, atol=1e-6)
+        # non-swapped layer unchanged
+        a8 = params_a["params"]["inr_net"]["block_8"]["mod1"]["weight"]
+        s8 = swapped["params"]["inr_net"]["block_8"]["mod1"]["weight"]
+        np.testing.assert_allclose(np.asarray(s8), np.asarray(a8))
+
+
+class TestShapes:
+    def test_mrc_roundtrip(self, tmp_path):
+        from cips3d_tpu.apps.shapes import read_mrc, write_mrc
+
+        vol = np.random.default_rng(0).standard_normal((4, 5, 6)).astype(np.float32)
+        p = str(tmp_path / "v.mrc")
+        write_mrc(p, vol)
+        back = read_mrc(p)
+        np.testing.assert_allclose(back, vol)
+        # header sanity
+        with open(p, "rb") as f:
+            header = f.read(1024)
+        assert header[208:212] == b"MAP "
+
+    def test_extract_shape(self, gen, tmp_path):
+        from cips3d_tpu.apps.shapes import extract_shape
+
+        model, params = gen
+        p = str(tmp_path / "s.mrc")
+        vol = extract_shape(params, model, p, n=8, psi=1.0)
+        assert vol.shape == (8, 8, 8)
+        assert os.path.exists(p)
+        assert np.all(np.isfinite(vol))
+
+
+class TestInversion:
+    def test_project_reduces_loss(self, gen):
+        from cips3d_tpu.apps.inversion import project_image
+
+        model, params = gen
+        # target: an actual render of a known z (so the optimum exists)
+        zs = sample_zs(jax.random.PRNGKey(5), 1, GCFG)
+        opts = RenderOptions(img_size=8, num_steps=3, h_stddev=0, v_stddev=0, sample_dist="mean")
+        target, _ = model.apply(params, zs, jax.random.PRNGKey(6), opts)
+        styles, img, history = project_image(
+            params, model, np.asarray(target[0]), num_steps_opt=30, lr=0.05,
+            img_size=8, num_steps=3, avg_samples=64, log_every=10,
+        )
+        assert img.shape == (3, 8, 8)
+        assert len(history) == 3
+        assert history[-1] <= history[0]
