@@ -126,14 +126,23 @@ def sample_pdf(
             raise ValueError("sample_pdf with det=False requires an RNG key")
         u = jax.random.uniform(key, (n_rays, n_importance), bins.dtype)
 
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu))(cdf, u)
+    # TPU-friendly searchsorted: the bin count is tiny (num_steps+1), so the
+    # insertion index is just a count of cdf entries < u — a dense comparison
+    # instead of a per-row binary search (gathers are slow on TPU).
+    inds = jnp.sum(
+        (cdf[:, None, :] < u[:, :, None]).astype(jnp.int32), axis=-1
+    )  # (R, n_importance), == searchsorted(cdf, u, side='left')
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, n_bins_w)
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, below, axis=-1)
-    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+    # one-hot selects lower to matmuls (MXU) instead of gathers
+    n_bins = cdf.shape[-1]
+    oh_below = jax.nn.one_hot(below, n_bins, dtype=cdf.dtype)  # (R, I, B)
+    oh_above = jax.nn.one_hot(above, n_bins, dtype=cdf.dtype)
+    cdf_below = jnp.einsum("rib,rb->ri", oh_below, cdf)
+    cdf_above = jnp.einsum("rib,rb->ri", oh_above, cdf)
+    bins_below = jnp.einsum("rib,rb->ri", oh_below, bins)
+    bins_above = jnp.einsum("rib,rb->ri", oh_above, bins)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < eps, 1.0, denom)
@@ -203,17 +212,28 @@ def merge_sorted_samples(
     """Concatenate fine+coarse samples and sort by depth
     (`exp/cips3d/models/generator.py:1732-1738`).
 
-    The reference concatenates [fine, coarse] then argsorts z; we mirror the
-    ordering (ties keep fine first) via a stable sort.
+    The reference concatenates [fine, coarse] then argsorts z (stable, so
+    ties keep fine first).  On TPU, sorting 2s ≈ 24 values per ray through
+    `sort`+`gather` is slow; with such a tiny axis a rank-by-counting
+    comparison matrix plus a one-hot permutation matmul (MXU) is much faster
+    and exactly reproduces the stable order:
+
+        rank_i = #\{j : z_j < z_i\} + #\{j < i : z_j == z_i\}
+        sorted = onehot(rank)^T @ values
 
     Shapes: outputs (b, n, s, c), z (b, n, s, 1) → (b, n, 2s, ...).
     """
     all_outputs = jnp.concatenate([fine_output, coarse_output], axis=-2)
-    all_z = jnp.concatenate([fine_z, coarse_z], axis=-2)
-    idx = jnp.argsort(all_z, axis=-2)  # stable; (b, n, 2s, 1)
-    all_z = jnp.take_along_axis(all_z, idx, axis=-2)
-    c = all_outputs.shape[-1]
-    all_outputs = jnp.take_along_axis(
-        all_outputs, jnp.broadcast_to(idx, idx.shape[:-1] + (c,)), axis=-2
-    )
+    all_z = jnp.concatenate([fine_z, coarse_z], axis=-2)  # (b, n, m, 1)
+    m = all_z.shape[-2]
+
+    z = all_z[..., 0]  # (b, n, m)
+    less = (z[..., None, :] < z[..., :, None]).astype(jnp.int32)   # [i, j] = z_j < z_i
+    equal = (z[..., None, :] == z[..., :, None]).astype(jnp.int32)
+    tri = (jnp.arange(m)[None, :] < jnp.arange(m)[:, None]).astype(jnp.int32)  # j < i
+    rank = jnp.sum(less, axis=-1) + jnp.sum(equal * tri, axis=-1)  # (b, n, m)
+
+    perm = jax.nn.one_hot(rank, m, dtype=all_outputs.dtype)  # (b, n, m_src, m_dst)
+    all_outputs = jnp.einsum("bnij,bnic->bnjc", perm, all_outputs)
+    all_z = jnp.einsum("bnij,bnic->bnjc", perm.astype(all_z.dtype), all_z)
     return all_outputs, all_z
