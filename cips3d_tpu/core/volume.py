@@ -218,7 +218,7 @@ def merge_sorted_samples(
     comparison matrix plus a one-hot permutation matmul (MXU) is much faster
     and exactly reproduces the stable order:
 
-        rank_i = #\{j : z_j < z_i\} + #\{j < i : z_j == z_i\}
+        rank_i = #{j : z_j < z_i} + #{j < i : z_j == z_i}
         sorted = onehot(rank)^T @ values
 
     Shapes: outputs (b, n, s, c), z (b, n, s, 1) → (b, n, 2s, ...).
