@@ -1,0 +1,71 @@
+"""Secondary benchmark: r256 novel-view inference fps/chip.
+
+BASELINE.json north-star: ≥30 fps/chip at r256 (num_steps 12, hierarchical,
+full INR decode).  Prints one JSON line (not the driver metric — that's
+bench.py's train throughput; run this manually for the serving number).
+"""
+
+import dataclasses
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main(img_size=256, num_steps=12, frames=16):
+    from cips3d_tpu.core import rays as rays_lib
+    from cips3d_tpu.models.generator import (
+        GeneratorConfig,
+        GeneratorNerfINR,
+        RenderOptions,
+        sample_zs,
+    )
+
+    cfg = GeneratorConfig()
+    gen = GeneratorNerfINR(cfg=cfg, dtype=jnp.bfloat16)
+    opts = RenderOptions(img_size=img_size, num_steps=num_steps, h_stddev=0.0, v_stddev=0.0)
+    key = jax.random.PRNGKey(0)
+    zs = sample_zs(key, 1, cfg)
+    params = gen.init(key, zs, key, dataclasses.replace(opts, img_size=32, num_steps=num_steps))
+    styles = gen.apply(params, zs["z_nerf"], zs["z_inr"], method=gen.mapping)
+
+    def render_frame(params, styles, key):
+        world = rays_lib.get_world_points_and_direction(
+            key, 1, num_steps, img_size, opts.fov, opts.ray_start, opts.ray_end,
+            0.0, 0.0, opts.h_mean, opts.v_mean, "gaussian",
+        )
+        img, _ = gen.apply(params, styles, world, opts, key, method=gen.forward_with_rays)
+        return img
+
+    def run_frames(params, styles, key):
+        def body(c, i):
+            img = render_frame(params, styles, jax.random.fold_in(key, i))
+            return c + jnp.sum(jnp.abs(img).astype(jnp.float32)), None
+
+        tot, _ = jax.lax.scan(body, 0.0, jnp.arange(frames))
+        return tot
+
+    jf = jax.jit(run_frames)
+    t0 = time.time()
+    jf(params, styles, key).block_until_ready()
+    print(f"compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    jf(params, styles, jax.random.PRNGKey(1)).block_until_ready()
+    dt = time.time() - t0
+    fps = frames / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"novel_view_fps_per_chip_r{img_size}",
+                "value": round(fps, 2),
+                "unit": "fps",
+                "vs_baseline": round(fps / 30.0, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
