@@ -63,14 +63,15 @@ def main():
     print("compiling...", file=sys.stderr)
     t0 = time.time()
     state, loss = run_k(state, real, key)
-    jax.block_until_ready(loss)
     print(f"compile+first {K} steps: {time.time() - t0:.1f}s  d_loss={float(loss):.4f}", file=sys.stderr)
 
+    # time with an explicit host readback per call — block_until_ready can
+    # return early through the dev tunnel's relay
     n_calls = 4
     t0 = time.time()
     for i in range(n_calls):
         state, loss = run_k(state, real, jax.random.fold_in(key, i))
-    jax.block_until_ready(loss)
+        _ = float(loss)
     dt = time.time() - t0
 
     n_steps = K * n_calls

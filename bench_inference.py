@@ -49,12 +49,16 @@ def main(img_size=256, num_steps=12, frames=16):
 
     jf = jax.jit(run_frames)
     t0 = time.time()
-    jf(params, styles, key).block_until_ready()
+    float(jf(params, styles, key))  # host readback forces completion
     print(f"compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
+    n_calls = 3
     t0 = time.time()
-    jf(params, styles, jax.random.PRNGKey(1)).block_until_ready()
+    acc = 0.0
+    for i in range(n_calls):
+        acc += float(jf(params, styles, jax.random.PRNGKey(1 + i)))
     dt = time.time() - t0
-    fps = frames / dt
+    print(f"checksum {acc:.3f}", file=sys.stderr)
+    fps = frames * n_calls / dt
     print(
         json.dumps(
             {

@@ -2,9 +2,11 @@
 
 The reference ships G_ema checkpoints (FFHQ_r256 / AFHQ_r256 / CartoonFaces,
 README.md:98-100) saved as module state-dicts of `GeneratorNerfINR`
-(`exp/cips3d/models/generator.py:1159`; the older releases use the
-architecture-identical v16 class,
-`exp/dev/nerf_inr/models/generator_nerf_inr_v16.py`).  This module maps those
+(`exp/cips3d/models/generator.py:1159`; the released checkpoints use the v16
+class, `exp/dev/nerf_inr/models/generator_nerf_inr_v16.py:1143-1207`, whose
+state-dict key layout is IDENTICAL — same `siren.network.{i}`,
+`inr_net.network.{res}.mod{1,2}`, `inr_net.to_rbgs.{res}`, mapping
+`base_net.{seq}` and `aux_to_rbg.0` names — so this converter covers both).  This module maps those
 state-dict names onto our flax param tree so released weights can be loaded
 for output-comparable validation.
 
@@ -122,13 +124,15 @@ def convert_generator_state_dict(
     resolutions = sorted(
         {k.split(".")[2] for k in sd if k.startswith("inr_net.network.")}, key=int
     )
+    # some dev variants spell the RGB heads "to_rbgs"
+    rgb_attr = "to_rgbs" if any(k.startswith("inr_net.to_rgbs.") for k in sd) else "to_rbgs"
     for res in resolutions:
         block: dict = {}
         _sinstylemod(block, "mod1", sd, f"inr_net.network.{res}.mod1")
         _sinstylemod(block, "mod2", sd, f"inr_net.network.{res}.mod2")
         inr[f"block_{res}"] = block
         rgb: dict = {}
-        _linear(rgb, "linear", sd, f"inr_net.to_rgbs.{res}.linear")
+        _linear(rgb, "linear", sd, f"inr_net.{rgb_attr}.{res}.linear")
         inr[f"to_rgb_{res}"] = rgb
     if "inr_net.tanh.0.weight" in sd:
         _linear(inr, "out_linear", sd, "inr_net.tanh.0")
