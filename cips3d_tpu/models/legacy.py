@@ -201,3 +201,47 @@ class ModulatedFCConv(nn.Module):
         if squeeze:
             out = out[:, 0]
         return out
+
+
+#: resolutions of INRNetwork_Skip_Prog (`inr_network.py:412-420`)
+PROG_RESOLUTIONS = ("16", "32", "64", "128", "256", "512", "1024")
+
+
+class INRNetworkSkipProg(nn.Module):
+    """Progressive INR decoder with per-resolution early exit
+    (`inr_network.py:389-502`): FiLM blocks keyed by resolution, per-block
+    ToRGB (frequency_init(100)) accumulation, break at ``img_size``, tanh.
+
+    Style keys: ``{prefix}_w{res}_0`` / ``{prefix}_w{res}_1``.
+    """
+
+    dim_scale: float = 1.0
+    rgb_dim: int = 3
+    name_prefix: str = "inr"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, style_dict: Mapping[str, jnp.ndarray], img_size: int = 1024):
+        import numpy as np
+
+        stop = str(2 ** int(np.log2(img_size)))
+        ch = int(256 * self.dim_scale)
+        rgb = None
+        for res in PROG_RESOLUTIONS:
+            x_orig = x
+            x = FiLMSineLayer(ch, dtype=self.dtype, name=f"film_{res}_0")(
+                x, style_dict[f"{self.name_prefix}_w{res}_0"]
+            )
+            x = FiLMSineLayer(ch, dtype=self.dtype, name=f"film_{res}_1")(
+                x, style_dict[f"{self.name_prefix}_w{res}_1"]
+            )
+            if x.shape[-1] == x_orig.shape[-1]:
+                x = x + x_orig  # FiLMBlock skip (`inr_network.py:292-348`)
+            out = TorchLinear(
+                self.rgb_dim, kernel_init=winit.frequency_kernel(100.0),
+                dtype=self.dtype, name=f"to_rgb_{res}",
+            )(x)
+            rgb = out if rgb is None else rgb + out
+            if res == stop:
+                break
+        return jnp.tanh(rgb)
