@@ -23,7 +23,9 @@ def main(img_size=256, num_steps=12, frames=16):
         sample_zs,
     )
 
-    cfg = GeneratorConfig()
+    import os
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    cfg = GeneratorConfig(use_pallas_siren=use_pallas)
     gen = GeneratorNerfINR(cfg=cfg, dtype=jnp.bfloat16)
     opts = RenderOptions(img_size=img_size, num_steps=num_steps, h_stddev=0.0, v_stddev=0.0)
     key = jax.random.PRNGKey(0)

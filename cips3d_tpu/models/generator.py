@@ -60,6 +60,9 @@ class GeneratorConfig:
     inr_mapping_layers: int = 8
     inr_pre_rgb_dim: int = 3
     freeze_nerf: bool = False          # GeneratorNerfINR_freeze_NeRF (`generator.py:1954`)
+    # Fused Pallas FiLM-SIREN point MLP (ops/pallas/film_mlp.py) — forward
+    # only (no custom VJP yet): enable for inference/rendering, not training.
+    use_pallas_siren: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -184,7 +187,20 @@ class GeneratorNerfINR(nn.Module):
         b, n, s, _ = pts.shape
         k_pdf, k_noise_coarse, k_noise_final = jax.random.split(key, 3)
 
-        coarse = self.siren(pts.reshape(b, n * s, 3), style_dict).reshape(b, n, s, -1)
+        def siren_eval(p_flat):
+            if (
+                self.cfg.use_pallas_siren
+                and self.cfg.nerf_hidden_layers == 2
+                and not self.is_initializing()
+            ):
+                from cips3d_tpu.ops.pallas.film_mlp import siren_forward_pallas
+
+                return siren_forward_pallas(
+                    self.siren.variables["params"], p_flat, style_dict
+                ).astype(self.dtype)
+            return self.siren(p_flat, style_dict)
+
+        coarse = siren_eval(pts.reshape(b, n * s, 3)).reshape(b, n, s, -1)
 
         if opts.hierarchical_sample:
             fine_pts, fine_z = volume_lib.get_fine_points(
@@ -199,7 +215,7 @@ class GeneratorNerfINR(nn.Module):
                 ray_directions=dirs,
                 noise_key=k_noise_coarse,
             )
-            fine = self.siren(fine_pts.reshape(b, n * s, 3), style_dict).reshape(b, n, s, -1)
+            fine = siren_eval(fine_pts.reshape(b, n * s, 3)).reshape(b, n, s, -1)
             all_outputs, all_z = volume_lib.merge_sorted_samples(coarse, z_vals, fine, fine_z)
         else:
             all_outputs, all_z = coarse, z_vals

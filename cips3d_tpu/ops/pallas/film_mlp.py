@@ -22,7 +22,7 @@ custom-VJP training variant is the natural next step.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Mapping, Tuple
+from typing import Any, Dict, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -203,10 +203,13 @@ def siren_forward_pallas(
     style_dict: Mapping[str, jnp.ndarray],
     warp_scale: float = 2.0 / 0.24,
     tile: int = DEFAULT_TILE,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Drop-in equivalent of `NeRFNetwork.__call__` (hidden_layers=2 fp32),
-    returning (b, n, rgb_dim + 1)."""
+    returning (b, n, rgb_dim + 1).  interpret=None auto-selects interpreter
+    mode off-TPU (CPU tests)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     weights = extract_siren_weights(siren_params)
     films = compute_films(siren_params, style_dict)
     return film_mlp_forward(points, weights, films, warp_scale, tile, interpret)
