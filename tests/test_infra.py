@@ -224,3 +224,32 @@ class TestDatasetTool:
         lst.write_text("\n".join(paths))
         dest = str(tmp_path / "o.zip")
         assert convert_dataset(str(lst), dest) == 2
+
+
+class TestModelRegistry:
+    def test_build_generator_from_node(self):
+        import cips3d_tpu.models.registry  # noqa: F401  (registers builders)
+        from cips3d_tpu.config import Config, build_model
+
+        node = Config.wrap({
+            "name": "cips3d_tpu.models.GeneratorNerfINR",
+            "z_dim_nerf": 16, "nerf_hidden_dim": 16, "nerf_style_dim": 16,
+        })
+        model = build_model(node)
+        assert model.cfg.z_dim_nerf == 16
+        assert model.cfg.freeze_nerf is False
+
+        node["name"] = "cips3d_tpu.models.GeneratorNerfINR_freeze_NeRF"
+        model = build_model(node)
+        assert model.cfg.freeze_nerf is True
+
+    def test_build_discriminator_from_node(self):
+        import cips3d_tpu.models.registry  # noqa: F401
+        from cips3d_tpu.config import Config, build_model
+
+        node = Config.wrap({
+            "name": "cips3d_tpu.models.DiscriminatorMultiScaleAux",
+            "max_size": 64, "diffaug": True,
+        })
+        model = build_model(node)
+        assert model.max_size == 64 and model.diffaug is True
