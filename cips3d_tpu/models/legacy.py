@@ -245,3 +245,31 @@ class INRNetworkSkipProg(nn.Module):
             if res == stop:
                 break
         return jnp.tanh(rgb)
+
+
+class ModSinLayer(nn.Module):
+    """Style-modulated normalization layer
+    (`exp/cips3d/models/generator.py:747-820` ModSinLayer): RMS-normalize,
+    then ``(gain_fc(style)+1) * x + bias_fc(style)`` and LeakyReLU.  Fixed
+    ``freq``/``phase`` select the (commented-in) sine path variant
+    (`ModSinLayer_NoBias`, `generator.py:822-890`): ``sin(freq*x+phase)*gain``.
+    """
+
+    use_sine: bool = False
+    freq: float = 1.0
+    phase: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, style):
+        in_dim = x.shape[-1]
+        gain = TorchLinear(in_dim, dtype=self.dtype, name="gain_fc")(style) + 1.0
+        if x.ndim == 3:
+            gain = gain[:, None, :]
+        if self.use_sine:
+            return jnp.sin(self.freq * x + self.phase) * gain
+        bias = TorchLinear(in_dim, dtype=self.dtype, name="bias_fc")(style)
+        if x.ndim == 3:
+            bias = bias[:, None, :]
+        h = x * jax.lax.rsqrt(jnp.mean(jnp.square(x), axis=-1, keepdims=True) + 1e-8)
+        return nn.leaky_relu(h * gain + bias, 0.2)

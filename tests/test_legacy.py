@@ -88,3 +88,25 @@ class TestMisc:
         # demodulation: per-sample effective weight has ~unit column norms ->
         # output scale comparable to input scale
         assert np.asarray(jnp.std(out)) < 10
+
+
+class TestModSinLayer:
+    def test_norm_path(self, rng):
+        from cips3d_tpu.models.legacy import ModSinLayer
+
+        m = ModSinLayer()
+        x = jax.random.normal(rng, (2, 5, 8)) * 3
+        style = jax.random.normal(rng, (2, 4))
+        params = m.init(rng, x, style)
+        out = m.apply(params, x, style)
+        assert out.shape == x.shape
+
+    def test_sine_path(self, rng):
+        from cips3d_tpu.models.legacy import ModSinLayer
+
+        m = ModSinLayer(use_sine=True, freq=2.0)
+        x = jax.random.normal(rng, (2, 5, 8))
+        style = jax.random.normal(rng, (2, 4))
+        params = m.init(rng, x, style)
+        out = np.asarray(m.apply(params, x, style))
+        assert np.all(np.isfinite(out))
