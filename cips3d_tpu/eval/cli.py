@@ -41,6 +41,9 @@ def load_generator(ckpt_dir: str, gen_cfg: GeneratorConfig, module: str = "G_ema
 
 
 def main(argv=None):
+    from cips3d_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("mode", choices=["fid", "gen", "sample", "multiview", "trajectory"])
     p.add_argument("--ckpt", required=True, help="snapshot dir (e.g. .../ckptdir/best_fid)")
@@ -52,6 +55,12 @@ def main(argv=None):
     p.add_argument("--num-images", type=int, default=2048)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--kid", action="store_true")
+    p.add_argument(
+        "--allow-surrogate",
+        action="store_true",
+        help="permit the random-projection FID_surrogate when InceptionV3 "
+        "weights are unavailable (relative tracking only)",
+    )
     p.add_argument("--psi", type=float, default=0.7)
     p.add_argument("--seeds", type=int, nargs="*", default=[0, 1, 2, 3])
     p.add_argument("--trajectory-mode", default="circle")
@@ -70,7 +79,9 @@ def main(argv=None):
         setup_evaluation(ZipImageDataset(args.data), real_dir, args.num_images, args.img_size)
         gen_images(params, gen, fake_dir, args.num_images, args.img_size,
                    batch_size=args.batch_size, num_steps=args.num_steps)
-        metrics = eval_fid(real_dir, fake_dir, kid=args.kid)
+        metrics = eval_fid(
+            real_dir, fake_dir, kid=args.kid, require_reference=not args.allow_surrogate
+        )
         print(metrics)
     elif args.mode == "gen":
         from cips3d_tpu.eval.images import gen_images

@@ -117,17 +117,32 @@ def eval_fid(
     extractor: Optional[Callable] = None,
     kid: bool = False,
     batch_size: int = 64,
+    require_reference: bool = False,
 ) -> dict:
     """Compute FID (and optionally KID) between two image directories
-    (`eval_fid.py:36-57`)."""
+    (`eval_fid.py:36-57`).
+
+    When the extractor is the random-projection surrogate (no InceptionV3
+    weights available), the metric is reported as ``FID_surrogate`` — it is a
+    relative tracking signal only, NOT comparable to published FID numbers.
+    ``require_reference=True`` hard-fails in that case (use for the 50k/50k
+    reference protocol, `exp/cips3d/configs/ffhq_exp.yaml:213-220`).
+    """
     if extractor is None:
         extractor = default_extractor()
+    name = getattr(extractor, "metric_name", "FID")
+    if require_reference and name != "FID":
+        raise RuntimeError(
+            "reference-comparable FID requested but InceptionV3 weights are "
+            "unavailable (set $CIPS3D_INCEPTION_WEIGHTS); refusing to report "
+            "a surrogate metric as FID"
+        )
     real = extract_dir_features(real_dir, extractor, batch_size)
     fake = extract_dir_features(fake_dir, extractor, batch_size)
     fid = frechet_distance(*activation_statistics(real), *activation_statistics(fake))
-    out = {"FID": fid}
+    out = {name: fid}
     if kid:
-        out["KID"] = kid_mmd(real, fake)
+        out[name.replace("FID", "KID")] = kid_mmd(real, fake)
     return out
 
 
@@ -160,4 +175,6 @@ def surrogate_extractor(dim: int = 256, seed: int = 0) -> Callable:
         flat = np.asarray(xr).reshape(x.shape[0], -1)
         return flat @ proj
 
+    # metric produced with this extractor must never be mistaken for real FID
+    extract.metric_name = "FID_surrogate"
     return extract

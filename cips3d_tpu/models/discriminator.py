@@ -165,7 +165,11 @@ class Discriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        channels = self.channels_override or stylegan2_channels(self.channel_multiplier)
+        channels = (
+            {int(k): v for k, v in self.channels_override.items()}
+            if self.channels_override
+            else stylegan2_channels(self.channel_multiplier)
+        )
         out = ConvLayer(channels[self.size], 1, dtype=self.dtype, name="conv_in")(x)
         for i in range(self.n_first_layers):
             out = ConvLayer(channels[self.size], 3, dtype=self.dtype, name=f"first_{i}")(out)
@@ -202,7 +206,8 @@ class DiscriminatorMultiScale(nn.Module):
         # custom channel table, mirroring the reference's ``channels`` kwarg
         # (`discriminator.py:417,440`)
         if self.channels_override is not None:
-            channels = dict(self.channels_override)
+            # YAML/dotted-override configs produce string keys; normalize.
+            channels = {int(k): v for k, v in self.channels_override.items()}
         else:
             channels = (
                 aux_channels(2) if self.use_aux_channels else stylegan2_channels(self.channel_multiplier)

@@ -42,7 +42,22 @@ def config_to_dataclasses(cfg):
     return gen_cfg, train_cfg, opts, loop_cfg
 
 
+def train_kwargs_from_config(cfg) -> dict:
+    """Resume/finetune gating (`train.py:258-285`): ``finetune_dir`` only
+    takes effect when ``load_finetune`` is set, matching the reference's
+    `load_finetune + finetune_dir` pairing (`train_ffhq_r64.sh:66-70`)."""
+    return dict(
+        resume=bool(cfg.get("resume", False)),
+        finetune_dir=cfg.get("finetune_dir") if cfg.get("load_finetune", False) else None,
+        load_nerf_ema=bool(cfg.get("load_nerf_ema", False)),
+        reset_best_fid=bool(cfg.get("reset_best_fid", False)),
+    )
+
+
 def main(argv=None):
+    from cips3d_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     args = parse_args(argv)
     cfg = resolve_command(args.config, args.command, args.opts)
     gen_cfg, train_cfg, opts, loop_cfg = config_to_dataclasses(cfg)
@@ -57,10 +72,7 @@ def main(argv=None):
         opts,
         loop_cfg,
         disc_kwargs=cfg.discriminator.to_dict(),
-        resume=bool(cfg.get("resume", False)),
-        finetune_dir=cfg.get("finetune_dir") if cfg.get("load_finetune", False) else None,
-        load_nerf_ema=bool(cfg.get("load_nerf_ema", False)),
-        reset_best_fid=bool(cfg.get("reset_best_fid", False)),
+        **train_kwargs_from_config(cfg),
     )
     return 0
 

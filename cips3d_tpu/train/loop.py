@@ -141,6 +141,7 @@ def train(
         state = state.replace(step=jnp.asarray(start_state["step"], jnp.int32))
     elif finetune_dir:
         # weights only, step restarts (`train.py:262-271`)
+        print(f"loading finetune weights from {finetune_dir}", flush=True)
         mgr2 = CheckpointManager(os.path.dirname(finetune_dir))
         loaded = mgr2.load_snapshot(os.path.basename(finetune_dir), module_refs)
         state = state.replace(
@@ -183,6 +184,21 @@ def train(
         start = start_state["step"]
         total = 2 if loop_cfg.debug else train_cfg.total_iters
         t_last = time.time()
+        # Every non-finite step must dump a *_crupted snapshot
+        # (`train.py:420-435` does so on each occurrence).  To avoid stalling
+        # the dispatch pipeline with a per-step device readback, the flags of
+        # step N are inspected while step N+1 executes: by then they have
+        # materialized, so float() does not block.
+        pending_finite = None
+
+        def check_finite(flags):
+            if flags is None:
+                return
+            if not (float(flags[0]) > 0):
+                _dump_crupted(ckpt_mgr, state, "D_crupted", start_state)
+            if not (float(flags[1]) > 0):
+                _dump_crupted(ckpt_mgr, state, "G_crupted", start_state)
+
         for step in range(start, total):
             imgs_u8, _ = next(loader)
             real = shard_batch(to_norm_tensor(imgs_u8), mesh)
@@ -190,13 +206,11 @@ def train(
 
             aux_reg = train_cfg.train_aux_img and (step % train_cfg.update_aux_every == 0)
             state, metrics = step_fns[aux_reg](state, real, k_step)
+            check_finite(pending_finite)
+            pending_finite = (metrics["d_finite"], metrics["g_finite"])
 
             if (step + 1) % loop_cfg.log_every == 0 or loop_cfg.debug:
                 m = {k: float(v) for k, v in metrics.items()}
-                if not (m["d_finite"] > 0):
-                    _dump_crupted(ckpt_mgr, state, "D_crupted", start_state)
-                if not (m["g_finite"] > 0):
-                    _dump_crupted(ckpt_mgr, state, "G_crupted", start_state)
                 summary = {k: {k: v} for k, v in m.items()}
                 summary["lr"] = {"G_lr": train_cfg.gen_lr, "D_lr": train_cfg.disc_lr}
                 summary["speed"] = {
@@ -224,6 +238,8 @@ def train(
                     textlogger,
                     start_state,
                 )
+
+        check_finite(pending_finite)
 
     loader.close()
     textlogger.close()
@@ -291,10 +307,14 @@ def _run_eval_and_checkpoint(
 
     if jax.process_index() == 0:
         metric_dict = eval_fid(real_dir, fake_dir)
+        # the key is "FID" with real InceptionV3 weights, "FID_surrogate"
+        # with the fallback extractor — log files carry the honest name
+        fid_name = next(k for k in metric_dict if k.startswith("FID"))
+        fid_val = metric_dict[fid_name]
         step = host_state["step"]
-        textlogger.log_dict({"FID": {"FID": metric_dict["FID"]}}, prefix="eval", step=step)
-        host_state["cur_fid"] = metric_dict["FID"]
-        print(f"step {step}: FID={metric_dict['FID']:.3f}", flush=True)
+        textlogger.log_dict({fid_name: {fid_name: fid_val}}, prefix="eval", step=step)
+        host_state["cur_fid"] = fid_val
+        print(f"step {step}: {fid_name}={fid_val:.3f}", flush=True)
 
         modules = {
             "generator": jax.device_get(state.g_params),
@@ -305,8 +325,8 @@ def _run_eval_and_checkpoint(
             f"step: {step}\ncur_fid: {host_state['cur_fid']}\n"
             f"best_fid: {host_state['best_fid']}"
         )
-        if host_state["best_fid"] > metric_dict["FID"]:
-            host_state["best_fid"] = metric_dict["FID"]
+        if host_state["best_fid"] > fid_val:
+            host_state["best_fid"] = fid_val
             ckpt_mgr.save_snapshot("best_fid", modules, dict(host_state), info)
         ckpt_mgr.save_backup(modules, dict(host_state), info)
         ckpt_mgr.save_snapshot("resume", modules, dict(host_state), info)

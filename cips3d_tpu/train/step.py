@@ -132,6 +132,10 @@ def make_train_step(
             "d_loss": loss,
             "d_logits_real": jnp.mean(real_logits),
             "d_logits_fake": jnp.mean(fake_logits),
+            # logits_norm diagnostic (`discriminator.py:571-576`)
+            "d_logits_norm": jnp.sqrt(
+                jnp.mean(jnp.concatenate([real_logits, fake_logits]) ** 2)
+            ),
             "grad_penalty": jnp.mean(penalty),
         }
         return loss, metrics
@@ -164,10 +168,24 @@ def make_train_step(
         k_d, k_gz, k_g = jax.random.split(key, 3)
 
         # ---------------- D phase ----------------
-        d_grad_fn = jax.grad(d_loss_fn, has_aux=True)
-        d_grads, d_metrics = d_grad_fn(
-            state.d_params, state.g_params, real_imgs, step, alpha, k_d
-        )
+        # batch_split microbatches the D phase too (`train.py:346-378`): real
+        # images are split along the batch axis; per-chunk mean losses are
+        # averaged, so gradients match the unsplit computation.
+        if cfg.batch_split > 1:
+            d_keys = jax.random.split(k_d, cfg.batch_split)
+            d_grads, d_metrics = _scan_microbatches(
+                lambda p, imgs, k: jax.grad(d_loss_fn, has_aux=True)(
+                    p, state.g_params, imgs, step, alpha, k
+                ),
+                state.d_params,
+                real_imgs,
+                d_keys,
+                cfg.batch_split,
+            )
+        else:
+            d_grads, d_metrics = jax.grad(d_loss_fn, has_aux=True)(
+                state.d_params, state.g_params, real_imgs, step, alpha, k_d
+            )
         d_grads, d_norm, d_finite = clip_and_guard(d_grads, cfg.grad_clip)
         d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
         d_params = jax.tree_util.tree_map(jnp.add, state.d_params, d_updates)
@@ -213,6 +231,10 @@ def make_train_step(
             {
                 "d_total_norm": d_norm,
                 "g_total_norm": g_norm,
+                # w_norm diagnostic (`discriminator.py:571-576`)
+                "d_w_norm": jnp.sqrt(
+                    sum(jnp.sum(jnp.square(x)) for x in jax.tree_util.tree_leaves(d_params))
+                ),
                 "d_finite": d_finite.astype(jnp.float32),
                 "g_finite": g_finite.astype(jnp.float32),
                 "alpha": alpha,

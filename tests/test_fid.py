@@ -77,8 +77,14 @@ class TestEvalFid:
         ext = surrogate_extractor(dim=16)
         same = eval_fid(str(tmp_path / "real"), str(tmp_path / "fake"), extractor=ext)
         diff = eval_fid(str(tmp_path / "real"), str(tmp_path / "fake2"), extractor=ext, kid=True)
-        assert diff["FID"] > same["FID"]
-        assert "KID" in diff
+        # surrogate extractor must report the honest metric name
+        assert diff["FID_surrogate"] > same["FID_surrogate"]
+        assert "KID_surrogate" in diff
+        with pytest.raises(RuntimeError):
+            eval_fid(
+                str(tmp_path / "real"), str(tmp_path / "fake"),
+                extractor=ext, require_reference=True,
+            )
 
 
 class TestInceptionArchitecture:
