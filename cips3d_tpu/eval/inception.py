@@ -285,11 +285,37 @@ def random_params(key) -> Dict:
     }
 
 
+def tf1x_resize_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) interpolation matrix reproducing TF1's
+    ``tf.image.resize_bilinear(align_corners=False)`` — the resize
+    torch-fidelity uses (``interpolate_bilinear_2d_like_tensorflow1x``):
+    src = dst * in/out (asymmetric, NOT half-pixel), floor + lerp, edge clamp.
+    Bilinear resize is separable, so one matrix per spatial axis suffices.
+    """
+    m = np.zeros((out_size, in_size), np.float32)
+    scale = in_size / out_size
+    for i in range(out_size):
+        src = i * scale
+        lo = int(np.floor(src))
+        hi = min(lo + 1, in_size - 1)
+        frac = src - lo
+        m[i, lo] += 1.0 - frac
+        m[i, hi] += frac
+    return m
+
+
+def tf1x_resize(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """TF1-style bilinear resize of (n, h, w, c) along the spatial axes."""
+    mh = jnp.asarray(tf1x_resize_matrix(x.shape[1], out_h))
+    mw = jnp.asarray(tf1x_resize_matrix(x.shape[2], out_w))
+    return jnp.einsum("oh,nhwc,pw->nopc", mh, x, mw)
+
+
 class InceptionV3Features:
     """Callable (n, H, W, 3) uint8 → (n, 2048) pool3 features.
 
-    Preprocessing matches torch-fidelity: bilinear resize to 299 (without
-    antialiasing), scale to [-1, 1].
+    Preprocessing matches torch-fidelity's FeatureExtractorInceptionV3:
+    float32 → TF1-style bilinear resize to 299×299 → (x - 128) / 128.
     """
 
     def __init__(self, weights_path: Optional[str] = None, params: Optional[Dict] = None,
@@ -302,8 +328,8 @@ class InceptionV3Features:
         self._fn = jax.jit(inception_forward) if batch_jit else inception_forward
 
     def __call__(self, batch_u8: np.ndarray) -> np.ndarray:
-        x = jnp.asarray(batch_u8, jnp.float32) / 255.0
-        x = jax.image.resize(x, (x.shape[0], 299, 299, 3), method="bilinear")
-        x = x * 2.0 - 1.0
+        x = jnp.asarray(batch_u8, jnp.float32)
+        x = tf1x_resize(x, 299, 299)
+        x = (x - 128.0) / 128.0
         x = x.transpose(0, 3, 1, 2)
         return np.asarray(self._fn(self.params, x))
