@@ -247,6 +247,107 @@ class INRNetworkSkipProg(nn.Module):
         return jnp.tanh(rgb)
 
 
+class CLNBlock(nn.Module):
+    """Two (Linear → CLN → LeakyReLU) stages with optional residual skip
+    (`inr_network.py:504-564`).  Style keys ``{prefix}_0`` / ``{prefix}_1``
+    are supplied by the caller as explicit vectors."""
+
+    out_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, style0, style1, skip: bool = False):
+        x_orig = x
+        x = TorchLinear(self.out_dim, dtype=self.dtype, name="linear1")(x)
+        x = CLN(dtype=self.dtype, name="cln1")(x, style0)
+        x = nn.leaky_relu(x, 0.2)
+        x = TorchLinear(self.out_dim, dtype=self.dtype, name="linear2")(x)
+        x = CLN(dtype=self.dtype, name="cln2")(x, style1)
+        out = nn.leaky_relu(x, 0.2)
+        if skip and out.shape[-1] == x_orig.shape[-1]:
+            out = out + x_orig
+        return out
+
+
+#: resolutions of INRNetwork_Skip_CLN (`inr_network.py:589-597`)
+CLN_RESOLUTIONS = ("16", "32", "64", "128", "256", "512", "1024")
+
+
+class INRNetworkSkipCLN(nn.Module):
+    """CLN-conditioned progressive INR decoder (`inr_network.py:566-680`):
+    CLNBlocks keyed by resolution (skip from res >= 128), per-block ToRGB
+    (frequency_init(100)) accumulation from the first block, early exit at
+    ``img_size``, tanh.
+
+    Style keys: ``{prefix}_w{res}_0`` / ``{prefix}_w{res}_1``.
+    """
+
+    dim_scale: float = 1.0
+    rgb_dim: int = 3
+    name_prefix: str = "inr"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, style_dict: Mapping[str, jnp.ndarray], img_size: int = 1024):
+        import numpy as np
+
+        stop = str(2 ** int(np.log2(img_size)))
+        ch = int(256 * self.dim_scale)
+        rgb = None
+        for res in CLN_RESOLUTIONS:
+            x = CLNBlock(ch, dtype=self.dtype, name=f"block_{res}")(
+                x,
+                style_dict[f"{self.name_prefix}_w{res}_0"],
+                style_dict[f"{self.name_prefix}_w{res}_1"],
+                skip=int(res) >= 128,
+            )
+            out = TorchLinear(
+                self.rgb_dim, kernel_init=winit.frequency_kernel(100.0),
+                dtype=self.dtype, name=f"to_rgb_{res}",
+            )(x)
+            rgb = out if rgb is None else rgb + out
+            if res == stop:
+                break
+        return jnp.tanh(rgb)
+
+
+#: resolutions of Linear_Skip_Prog (`inr_network.py:752-761`)
+LINEAR_PROG_RESOLUTIONS = ("32", "64", "128", "256", "512", "1024")
+
+
+class LinearSkipProg(nn.Module):
+    """Style-free progressive decoder with a single CLN-conditioned input
+    layer (`inr_network.py:728-858`): CLNLayer (style key ``{prefix}_w``) →
+    per-resolution Linear(frequency_init(25)) + LeakyReLU blocks with ToRGB
+    accumulation and early exit, tanh."""
+
+    hidden_dim: int = 256
+    rgb_dim: int = 3
+    name_prefix: str = "linear"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, style_dict: Mapping[str, jnp.ndarray], img_size: int = 1024):
+        import numpy as np
+
+        stop = str(2 ** int(np.log2(img_size)))
+        x = CLNLayer(self.hidden_dim, dtype=self.dtype, name="cln_layer")(
+            x, style_dict[f"{self.name_prefix}_w"]
+        )
+        rgb = None
+        for res in LINEAR_PROG_RESOLUTIONS:
+            x = TorchLinear(
+                self.hidden_dim, kernel_init=winit.frequency_kernel(25.0),
+                dtype=self.dtype, name=f"linear_{res}",
+            )(x)
+            x = nn.leaky_relu(x, 0.2)
+            out = TorchLinear(self.rgb_dim, dtype=self.dtype, name=f"to_rgb_{res}")(x)
+            rgb = out if rgb is None else rgb + out
+            if res == stop:
+                break
+        return jnp.tanh(rgb)
+
+
 class ModSinLayer(nn.Module):
     """Style-modulated normalization layer
     (`exp/cips3d/models/generator.py:747-820` ModSinLayer): RMS-normalize,

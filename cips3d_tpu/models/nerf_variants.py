@@ -115,3 +115,47 @@ def NeRFNetworkSmall(**kwargs) -> NeRFNetwork:
     kwargs.setdefault("hidden_layers", 1)
     kwargs.setdefault("hidden_dim", 64)
     return NeRFNetwork(**kwargs)
+
+
+class LinearSinAct(nn.Module):
+    """Linear → sin (`generator_nerf_inr_v16.py:54-68`)."""
+
+    out_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return jnp.sin(TorchLinear(self.out_dim, dtype=self.dtype, name="linear")(x))
+
+
+class NeRFNetworkSigma(nn.Module):
+    """v16 dev variant (`generator_nerf_inr_v16.py:373-593`): only the sigma
+    path is style-conditioned (FiLM-sine stack → Linear σ); the color branch
+    is an *unconditioned* LinearSinAct on the warped input followed by a
+    kaiming-leaky Linear to the rgb feature.  Style keys ``{prefix}_w{i}``
+    only (no ``{prefix}_rgb``)."""
+
+    hidden_dim: int = 128
+    hidden_layers: int = 2
+    rgb_dim: int = 3
+    box_sidelength: float = 0.24
+    name_prefix: str = "nerf"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, points: jnp.ndarray, style_dict: Mapping[str, jnp.ndarray]) -> jnp.ndarray:
+        from cips3d_tpu.models.layers import FiLMSineLayer
+
+        warped = uniform_box_warp(points.astype(self.dtype), self.box_sidelength)
+        x = warped
+        for i in range(self.hidden_layers):
+            x = FiLMSineLayer(self.hidden_dim, dtype=self.dtype, name=f"film_{i}")(
+                x, style_dict[f"{self.name_prefix}_w{i}"].astype(self.dtype)
+            )
+        sigma = TorchLinear(1, dtype=self.dtype, name="sigma")(x)
+        c = LinearSinAct(self.hidden_dim // 2, dtype=self.dtype, name="color_sine")(warped)
+        rgb = TorchLinear(
+            self.rgb_dim, kernel_init=winit.kaiming_leaky_kernel, dtype=self.dtype,
+            name="color_linear",
+        )(c)
+        return jnp.concatenate([rgb, sigma], axis=-1)

@@ -110,3 +110,53 @@ class TestModSinLayer:
         params = m.init(rng, x, style)
         out = np.asarray(m.apply(params, x, style))
         assert np.all(np.isfinite(out))
+
+
+class TestCLNINRVariants:
+    def test_inr_skip_cln_early_exit(self, rng):
+        from cips3d_tpu.models.legacy import CLN_RESOLUTIONS, INRNetworkSkipCLN
+
+        net = INRNetworkSkipCLN(dim_scale=1 / 16)  # ch 16
+        x = jax.random.normal(rng, (2, 9, 8))
+        styles = {}
+        for res in CLN_RESOLUTIONS:
+            styles[f"inr_w{res}_0"] = jax.random.normal(jax.random.fold_in(rng, 2 * int(res)), (2, 12))
+            styles[f"inr_w{res}_1"] = jax.random.normal(jax.random.fold_in(rng, 2 * int(res) + 1), (2, 12))
+        params = net.init(rng, x, styles)
+        out_full = net.apply(params, x, styles)
+        assert out_full.shape == (2, 9, 3)
+        assert np.all(np.abs(np.asarray(out_full)) <= 1.0)
+        # early exit at 64 uses only the first 3 blocks
+        out_64 = net.apply(params, x, styles, img_size=64)
+        assert not np.allclose(np.asarray(out_64), np.asarray(out_full))
+
+    def test_linear_skip_prog(self, rng):
+        from cips3d_tpu.models.legacy import LinearSkipProg
+
+        net = LinearSkipProg(hidden_dim=16)
+        x = jax.random.normal(rng, (2, 9, 8))
+        styles = {"linear_w": jax.random.normal(rng, (2, 12))}
+        params = net.init(rng, x, styles)
+        out = net.apply(params, x, styles, img_size=256)
+        assert out.shape == (2, 9, 3)
+        # single CLN input layer is the only style dependence
+        g = jax.grad(lambda s: float_sum(net.apply(params, x, s)))(styles)
+        assert float(jnp.abs(g["linear_w"]).max()) > 0
+
+    def test_cln_block_skip(self, rng):
+        from cips3d_tpu.models.legacy import CLNBlock
+
+        blk = CLNBlock(8)
+        x = jax.random.normal(rng, (2, 5, 8))
+        s0 = jax.random.normal(rng, (2, 6))
+        s1 = jax.random.normal(jax.random.fold_in(rng, 1), (2, 6))
+        params = blk.init(rng, x, s0, s1)
+        no_skip = blk.apply(params, x, s0, s1, skip=False)
+        with_skip = blk.apply(params, x, s0, s1, skip=True)
+        np.testing.assert_allclose(
+            np.asarray(with_skip), np.asarray(no_skip + x), rtol=1e-5, atol=1e-6
+        )
+
+
+def float_sum(x):
+    return jnp.sum(x)

@@ -53,3 +53,28 @@ class TestVariants:
                   "nerf_rgb": jax.random.normal(rng, (1, 16))}
         params = net.init(rng, pts, styles)
         assert net.apply(params, pts, styles).shape == (1, 6, 9)
+
+
+class TestNeRFNetworkSigma:
+    def test_forward_and_grads(self, rng):
+        from cips3d_tpu.models.nerf_variants import NeRFNetworkSigma
+
+        net = NeRFNetworkSigma(hidden_dim=16, hidden_layers=2, rgb_dim=8)
+        pts = jax.random.normal(rng, (2, 10, 3)) * 0.1
+        styles = {f"nerf_w{i}": jax.random.normal(jax.random.fold_in(rng, i), (2, 16))
+                  for i in range(2)}
+        params = net.init(rng, pts, styles)
+        out = net.apply(params, pts, styles)
+        assert out.shape == (2, 10, 9)
+        # only the sigma path is style-conditioned: d(sigma)/d(style) != 0,
+        # d(rgb)/d(style) == 0 (generator_nerf_inr_v16.py:519-530)
+        def sigma_sum(s):
+            return jnp.sum(net.apply(params, pts, s)[..., -1])
+
+        def rgb_sum(s):
+            return jnp.sum(net.apply(params, pts, s)[..., :-1])
+
+        g_sigma = jax.grad(sigma_sum)(styles)
+        g_rgb = jax.grad(rgb_sum)(styles)
+        assert max(float(jnp.abs(v).max()) for v in g_sigma.values()) > 0
+        assert max(float(jnp.abs(v).max()) for v in g_rgb.values()) == 0
