@@ -240,14 +240,18 @@ class DiscriminatorMultiScale(nn.Module):
         diffaug_key: Optional[jax.Array] = None,
         fade_in: bool = True,
     ) -> jnp.ndarray:
+        from cips3d_tpu.utils import debug
+
         if self.diffaug and diffaug_key is not None:
             x = diff_augment(diffaug_key, x)
 
         size = x.shape[-1]
         log_size = int(math.log2(size))
 
+        debug.trace("disc.in", x)
         out = self.conv_in[str(size)](x)
         out = self.blocks[str(size)](out)
+        debug.trace(f"disc.block_{size}", out)
 
         # Progressive fade-in: blend with the half-res input head
         # (`discriminator.py:524-532`).  Enabled statically by ``fade_in``
@@ -269,6 +273,7 @@ class DiscriminatorMultiScale(nn.Module):
         out = out.reshape(out.shape[0], -1)
         out = self.space_linear(out)
         out = self.out_linear(out)
+        debug.trace("disc.logits", out)
         return out
 
     def init_all(self, x4: jnp.ndarray):

@@ -148,11 +148,14 @@ class GeneratorNerfINR(nn.Module):
     def mapping(self, z_nerf: jnp.ndarray, z_inr: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         """Dual mapping (`generator.py:1796-1802`); with freeze_nerf the nerf
         styles are detached (`generator.py:1963-1970`)."""
+        from cips3d_tpu.utils import debug
+
         nerf_styles = self.mapping_network_nerf(z_nerf)
         if self.cfg.freeze_nerf:
             nerf_styles = jax.tree_util.tree_map(jax.lax.stop_gradient, nerf_styles)
         style_dict = dict(nerf_styles)
         style_dict.update(self.mapping_network_inr(z_inr))
+        debug.trace("mapping", **style_dict)
         return style_dict
 
     # ------------------------------------------------------------------ #
@@ -200,7 +203,11 @@ class GeneratorNerfINR(nn.Module):
                 ).astype(self.dtype)
             return self.siren(p_flat, style_dict)
 
+        from cips3d_tpu.utils import debug
+
+        debug.trace("points_forward.in", points=pts, dirs=dirs_exp, z_vals=z_vals)
         coarse = siren_eval(pts.reshape(b, n * s, 3)).reshape(b, n, s, -1)
+        debug.trace("points_forward.coarse", coarse)
 
         if opts.hierarchical_sample:
             fine_pts, fine_z = volume_lib.get_fine_points(
@@ -239,9 +246,11 @@ class GeneratorNerfINR(nn.Module):
         if self.cfg.freeze_nerf:
             pixels_fea = jax.lax.stop_gradient(pixels_fea)
 
+        debug.trace("points_forward.pixels_fea", pixels_fea)
         # Training path runs all nine INR blocks regardless of img_size
         # (`generator.py:1754` passes no img_size).
         inr_img = self.inr_net(pixels_fea, style_dict)
+        debug.trace("points_forward.inr_img", inr_img)
 
         # Always evaluate the (tiny) aux head so the param tree does not depend
         # on return_aux_img; callers drop it when unused.

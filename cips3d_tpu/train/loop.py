@@ -66,6 +66,11 @@ class LoopConfig:
     xflip: bool = True
     max_to_keep: int = 3
     debug: bool = False
+    # observability (SURVEY §5 tracing row): print per-module shapes at trace
+    # time (the forward_verbose analogue) / capture a jax.profiler trace of N
+    # steady-state steps into <outdir>/profile
+    debug_shapes: bool = False
+    profile_steps: int = 0
 
 
 def save_monitor_images(
@@ -114,6 +119,10 @@ def train(
     """Run the adversarial loop.  Returns the final TrainState."""
     outdir = loop_cfg.outdir
     os.makedirs(outdir, exist_ok=True)
+    if loop_cfg.debug_shapes:
+        from cips3d_tpu.utils import debug
+
+        debug.enable(True)
     textlogger = TextLogger(os.path.join(outdir, "textdir"))
     ckpt_mgr = CheckpointManager(os.path.join(outdir, "ckptdir"), loop_cfg.max_to_keep)
 
@@ -190,6 +199,8 @@ def train(
         # step N are inspected while step N+1 executes: by then they have
         # materialized, so float() does not block.
         pending_finite = None
+        profiling = False
+        profile_start = start + 2 if total - start > loop_cfg.profile_steps + 2 else start
 
         def check_finite(flags):
             if flags is None:
@@ -204,10 +215,22 @@ def train(
             real = shard_batch(to_norm_tensor(imgs_u8), mesh)
             key, k_step = jax.random.split(key)
 
+            # profiler window: skip the (compile) warmup steps when the run is
+            # long enough, else trace from the first step
+            if loop_cfg.profile_steps and step == profile_start:
+                jax.profiler.start_trace(os.path.join(outdir, "profile"))
+                profiling = True
+
             aux_reg = train_cfg.train_aux_img and (step % train_cfg.update_aux_every == 0)
             state, metrics = step_fns[aux_reg](state, real, k_step)
             check_finite(pending_finite)
             pending_finite = (metrics["d_finite"], metrics["g_finite"])
+
+            if profiling and step >= profile_start + loop_cfg.profile_steps - 1:
+                jax.tree_util.tree_map(lambda x: x.block_until_ready(), metrics)
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"profiler trace written to {outdir}/profile", flush=True)
 
             if (step + 1) % loop_cfg.log_every == 0 or loop_cfg.debug:
                 m = {k: float(v) for k, v in metrics.items()}
@@ -240,6 +263,8 @@ def train(
                 )
 
         check_finite(pending_finite)
+        if profiling:
+            jax.profiler.stop_trace()
 
     loader.close()
     textlogger.close()

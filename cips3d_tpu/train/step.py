@@ -253,22 +253,32 @@ def init_train_state(
     cfg: TrainConfig,
     opts: RenderOptions,
 ) -> TrainState:
-    """Initialize G/D/EMA params and optimizer states."""
-    k_g, k_d, k_z = jax.random.split(key, 3)
-    zs = sample_zs(k_z, 2, generator.cfg, cfg.z_dist)
-    init_opts = dataclasses.replace(opts, img_size=cfg.img_size)
-    g_params = generator.init(k_g, zs, k_z, init_opts)
-    d_params = discriminator.init(
-        k_d, jnp.zeros((2, 3, 8, 8)), method=discriminator.init_all
-    )
+    """Initialize G/D/EMA params and optimizer states.
+
+    The whole init runs under ONE jit: eager init dispatches thousands of
+    tiny ops, which is pathological through a remote-device tunnel (~15 min
+    observed vs seconds jitted).
+    """
     g_tx, d_tx = make_optimizers(cfg)
-    return TrainState(
-        step=jnp.zeros((), jnp.int32),
-        g_params=g_params,
-        d_params=d_params,
-        g_opt=g_tx.init(g_params),
-        d_opt=d_tx.init(d_params),
-        # real copies: EMA must not alias G's buffers (donation would see the
-        # same buffer twice)
-        ema_params=jax.tree_util.tree_map(jnp.copy, g_params),
-    )
+    init_opts = dataclasses.replace(opts, img_size=cfg.img_size)
+
+    @jax.jit
+    def _init(key):
+        k_g, k_d, k_z = jax.random.split(key, 3)
+        zs = sample_zs(k_z, 2, generator.cfg, cfg.z_dist)
+        g_params = generator.init(k_g, zs, k_z, init_opts)
+        d_params = discriminator.init(
+            k_d, jnp.zeros((2, 3, 8, 8)), method=discriminator.init_all
+        )
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            g_params=g_params,
+            d_params=d_params,
+            g_opt=g_tx.init(g_params),
+            d_opt=d_tx.init(d_params),
+            # real copies: EMA must not alias G's buffers (donation would see
+            # the same buffer twice)
+            ema_params=jax.tree_util.tree_map(jnp.copy, g_params),
+        )
+
+    return _init(key)
