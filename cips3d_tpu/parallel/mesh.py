@@ -15,11 +15,42 @@ Axes:
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Wire `jax.distributed.initialize` — the DCN / multi-host analogue of
+    the reference's `dist.init_process_group("nccl")`
+    (`exp/cips3d/scripts/train.py:41-53,603-607`).
+
+    Arguments default to the env vars CIPS3D_COORDINATOR,
+    CIPS3D_NUM_PROCESSES, CIPS3D_PROCESS_ID (torchrun-style single-var
+    launch).  No-op (returns False) when no multi-process config is present,
+    so single-host runs need nothing.  Must be called before any jax
+    operation.
+    """
+    coordinator_address = coordinator_address or os.environ.get("CIPS3D_COORDINATOR")
+    if num_processes is None and "CIPS3D_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["CIPS3D_NUM_PROCESSES"])
+    if process_id is None and "CIPS3D_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["CIPS3D_PROCESS_ID"])
+    if not coordinator_address or not num_processes or num_processes <= 1:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
 
 
 def make_mesh(
@@ -67,5 +98,13 @@ def shard_train_step(step_fn, mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a host batch with dim 0 sharded over 'data'."""
-    return jax.device_put(batch, batch_sharded(mesh))
+    """Device-put a host batch with dim 0 sharded over 'data'.
+
+    Multi-process: ``batch`` is this process's LOCAL shard (the loader is
+    process-sharded); the global array is assembled from per-process data —
+    the per-host data-sharding analogue of the reference's
+    DistributedSampler (`train.py:301-304`)."""
+    sharding = batch_sharded(mesh)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, batch)
+    return jax.device_put(batch, sharding)

@@ -55,9 +55,11 @@ def train_kwargs_from_config(cfg) -> dict:
 
 
 def main(argv=None):
+    from cips3d_tpu.parallel.mesh import initialize_multihost
     from cips3d_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()
+    initialize_multihost()  # no-op unless CIPS3D_COORDINATOR/… are set
     args = parse_args(argv)
     cfg = resolve_command(args.config, args.command, args.opts)
     gen_cfg, train_cfg, opts, loop_cfg = config_to_dataclasses(cfg)

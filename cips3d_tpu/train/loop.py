@@ -131,7 +131,10 @@ def train(
 
     key = jax.random.PRNGKey(loop_cfg.seed)
     key, k_init, k_fixed = jax.random.split(key, 3)
-    state = init_train_state(k_init, generator, discriminator, train_cfg, opts)
+    mesh = make_mesh(n_devices)
+    state = init_train_state(
+        k_init, generator, discriminator, train_cfg, opts, sharding=replicated(mesh)
+    )
 
     start_state = {"step": 0, "best_fid": float("inf"), "cur_fid": float("inf")}
     module_refs = {
@@ -147,7 +150,9 @@ def train(
             d_params=loaded["discriminator"],
         )
         start_state.update(ckpt_mgr.load_state("resume"))
-        state = state.replace(step=jnp.asarray(start_state["step"], jnp.int32))
+        # numpy (uncommitted) so the re-sharding jit below can place it on the
+        # global mesh under multi-process
+        state = state.replace(step=np.asarray(start_state["step"], np.int32))
     elif finetune_dir:
         # weights only, step restarts (`train.py:262-271`)
         print(f"loading finetune weights from {finetune_dir}", flush=True)
@@ -165,16 +170,17 @@ def train(
 
     fixed_zs = sample_zs(k_fixed, 4 if loop_cfg.debug else loop_cfg.fixed_z_bs, gen_cfg)
 
-    # data
-    mesh = make_mesh(n_devices)
+    # data: the loader yields this PROCESS's shard of the global batch
+    # (DistributedSampler semantics, `train.py:301-304`)
     n_dev = mesh.devices.size
     global_batch = train_cfg.batch_size * n_dev
+    local_batch = global_batch // jax.process_count()
     dataset = ZipImageDataset(
         loop_cfg.data_path, resize_resolution=train_cfg.img_size, xflip=loop_cfg.xflip
     )
     loader = DataLoader(
         dataset,
-        batch_size=global_batch,
+        batch_size=local_batch,
         seed=loop_cfg.seed,
         shard_index=jax.process_index(),
         num_shards=jax.process_count(),
@@ -188,7 +194,10 @@ def train(
         step_fns[aux_reg] = shard_train_step(fn, mesh)
 
     with mesh:
-        state = jax.device_put(state, replicated(mesh))
+        if resume or finetune_dir or load_nerf_ema:
+            # loaded host arrays (numpy, identical on every process) re-enter
+            # the replicated layout through jit
+            state = jax.jit(lambda s: s, out_shardings=replicated(mesh))(state)
 
         start = start_state["step"]
         total = 2 if loop_cfg.debug else train_cfg.total_iters
@@ -329,6 +338,13 @@ def _run_eval_and_checkpoint(
         shard_index=jax.process_index(),
         num_shards=jax.process_count(),
     )
+
+    if jax.process_count() > 1:
+        # all shards must be on disk before rank 0 computes FID / checkpoints
+        # (the reference's d2_synchronize barriers, `train.py:526,537,575`)
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("fid_images_written")
 
     if jax.process_index() == 0:
         metric_dict = eval_fid(real_dir, fake_dir)

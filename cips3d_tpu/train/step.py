@@ -252,17 +252,21 @@ def init_train_state(
     discriminator,
     cfg: TrainConfig,
     opts: RenderOptions,
+    sharding=None,
 ) -> TrainState:
     """Initialize G/D/EMA params and optimizer states.
 
     The whole init runs under ONE jit: eager init dispatches thousands of
     tiny ops, which is pathological through a remote-device tunnel (~15 min
-    observed vs seconds jitted).
+    observed vs seconds jitted).  Pass ``sharding`` (e.g. replicated over the
+    global mesh) to materialize the state directly with that layout — under
+    multi-process SPMD every process computes the same program from the same
+    key, so the result is consistently replicated without any broadcast.
     """
     g_tx, d_tx = make_optimizers(cfg)
     init_opts = dataclasses.replace(opts, img_size=cfg.img_size)
 
-    @jax.jit
+    @partial(jax.jit, out_shardings=sharding)
     def _init(key):
         k_g, k_d, k_z = jax.random.split(key, 3)
         zs = sample_zs(k_z, 2, generator.cfg, cfg.z_dist)

@@ -1,0 +1,58 @@
+"""Worker process for the 2-process multi-host test (run via subprocess).
+
+Usage: python multihost_worker.py <data_zip> <outdir>
+Env: CIPS3D_COORDINATOR, CIPS3D_NUM_PROCESSES, CIPS3D_PROCESS_ID.
+
+Initializes a local jax.distributed cluster on CPU (2 local devices per
+process -> 4 global), then runs the REAL training loop for 2 debug steps:
+process-sharded data loading, a globally-replicated train state, the sharded
+train step, per-host-interleaved eval image dumps, a cross-process barrier,
+and process-0-only FID/checkpointing.  The multi-process analogue of the
+reference's mp.spawn+NCCL path (`exp/cips3d/scripts/train.py:41-53,603-607`).
+"""
+
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+
+from cips3d_tpu.parallel.mesh import initialize_multihost  # noqa: E402
+
+assert initialize_multihost(), "multihost env not set"
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 4, jax.devices()
+assert len(jax.local_devices()) == 2
+
+from cips3d_tpu.models.generator import GeneratorConfig, RenderOptions  # noqa: E402
+from cips3d_tpu.train.loop import LoopConfig, train  # noqa: E402
+from cips3d_tpu.train.state import TrainConfig  # noqa: E402
+
+TINY = {r: 16 for r in (4, 8, 16, 32, 64, 128, 256, 512, 1024)}
+GCFG = GeneratorConfig(
+    z_dim_nerf=16, z_dim_inr=32, nerf_hidden_dim=16, nerf_style_dim=16,
+    nerf_mapping_layers=2, inr_hidden_dim=32, inr_style_dim=32, inr_mapping_layers=2,
+)
+
+
+def main():
+    data_zip, outdir = sys.argv[1], sys.argv[2]
+    tcfg = TrainConfig(
+        img_size=8, batch_size=1, grad_points=None, total_iters=2, ema_start_itr=1
+    )
+    opts = RenderOptions(img_size=8, num_steps=3)
+    lcfg = LoopConfig(
+        outdir=outdir, data_path=data_zip, log_every=1, eval_every=2,
+        fixed_z_bs=2, num_workers=1, debug=True,
+    )
+    state = train(
+        GCFG, tcfg, opts, lcfg,
+        disc_kwargs={"max_size": 16, "channels_override": TINY},
+    )
+    assert int(state.step) == 2
+    print(f"WORKER_OK {jax.process_index()}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
