@@ -48,6 +48,9 @@ def main(argv=None):
     p.add_argument("mode", choices=["fid", "gen", "sample", "multiview", "trajectory"])
     p.add_argument("--ckpt", required=True, help="snapshot dir (e.g. .../ckptdir/best_fid)")
     p.add_argument("--module", default="G_ema")
+    p.add_argument("--config", default=None, help="YAML with a `generator:` node "
+                   "(to eval checkpoints of non-default architecture)")
+    p.add_argument("--command", default=None, help="command node in --config")
     p.add_argument("--data", default=None, help="dataset zip (fid mode)")
     p.add_argument("--out", default="eval_out")
     p.add_argument("--img-size", type=int, default=256)
@@ -67,7 +70,13 @@ def main(argv=None):
     p.add_argument("--num-frames", type=int, default=30)
     args = p.parse_args(argv)
 
-    gen, params = load_generator(args.ckpt, GeneratorConfig(), args.module)
+    gen_cfg = GeneratorConfig()
+    if args.config:
+        from cips3d_tpu.config.config import resolve_command
+
+        cfg = resolve_command(args.config, args.command or "train_base")
+        gen_cfg = GeneratorConfig(**cfg.generator.to_dict())
+    gen, params = load_generator(args.ckpt, gen_cfg, args.module)
 
     if args.mode == "fid":
         from cips3d_tpu.data.zip_dataset import ZipImageDataset
