@@ -47,8 +47,30 @@ def render_chunked(
     camera_lookup: Optional[jnp.ndarray] = None,
     up_vector: Optional[jnp.ndarray] = None,
 ) -> np.ndarray:
+    """Host wrapper around :func:`render_chunked_traced` (numpy out)."""
+    return np.asarray(
+        render_chunked_traced(
+            params, generator, style_dict, opts, key, forward_points,
+            camera_pos, camera_lookup, up_vector,
+        )
+    )
+
+
+def render_chunked_traced(
+    params,
+    generator: GeneratorNerfINR,
+    style_dict,
+    opts: RenderOptions,
+    key: jax.Array,
+    forward_points: int = 256 ** 2,
+    camera_pos: Optional[jnp.ndarray] = None,
+    camera_lookup: Optional[jnp.ndarray] = None,
+    up_vector: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
     """Render one batch at ``opts.img_size`` in pixel chunks of
-    ``forward_points`` (the `forward_points` staged-inference path).
+    ``forward_points`` (the `forward_points` staged-inference path,
+    `generator.py:1406-1473`).  Jittable: the chunk loop is a `lax.map`, so
+    only one chunk's activations are live at a time.
 
     Returns (b, 3, H, W) float images in [-1, 1].
     """
@@ -101,7 +123,7 @@ def render_chunked(
     keys = jax.random.split(k_pts, n_chunks)
     chunks = jax.lax.map(render_chunk, (jnp.arange(n_chunks), keys))  # (n_chunks, b, chunk, 3)
     flat = jnp.transpose(chunks, (1, 0, 2, 3)).reshape(b, num_points, 3)
-    return np.asarray(flat.transpose(0, 2, 1).reshape(b, 3, h, w))
+    return flat.transpose(0, 2, 1).reshape(b, 3, h, w)
 
 
 def compute_styles(params, generator, zs, psi: float = 1.0, avg_key=None, avg_samples=2000):

@@ -72,9 +72,28 @@ def make_eval_render_fn(
     opts: RenderOptions,
     batch_size: int,
     use_aux: bool = False,
+    forward_points: Optional[int] = None,
 ):
     """jitted (params, zs, key) → uint8-ready images at psi=1, random pose
-    (the gen_images protocol, `gen_images.py:47-62`)."""
+    (the gen_images protocol, `gen_images.py:47-62`).
+
+    ``forward_points``: pixel-chunk size for staged rendering — the eval path
+    of the reference always renders through `forward_points=256**2` chunks
+    (`gen_images.py:60`); chunking caps activation memory at high
+    resolutions (lax.map keeps one chunk live at a time)."""
+
+    if forward_points is not None and forward_points < opts.img_size ** 2:
+        from cips3d_tpu.apps.render import render_chunked_traced
+
+        def render(params, zs, key):
+            styles = generator.apply(
+                params, zs["z_nerf"], zs["z_inr"], method=generator.mapping
+            )
+            return render_chunked_traced(
+                params, generator, styles, opts, key, forward_points
+            )
+
+        return jax.jit(render)
 
     def render(params, zs, key):
         imgs, _ = generator.apply(params, zs, key, opts, return_aux_img=use_aux)
@@ -95,15 +114,18 @@ def gen_images(
     seed: int = 0,
     shard_index: int = 0,
     num_shards: int = 1,
+    forward_points: Optional[int] = 256 ** 2,
 ) -> int:
     """Sample ``num_imgs`` images from (EMA) params into ``fake_dir``
-    (`gen_images.py:30-72`).  Per-host interleaved naming: host k writes
-    indices k, k+num_shards, ... (`gen_images.py:63`)."""
+    (`gen_images.py:30-72`): chunked no-grad rendering through
+    ``forward_points``-pixel chunks when the image exceeds one chunk.
+    Per-host interleaved naming: host k writes indices k, k+num_shards, ...
+    (`gen_images.py:63`)."""
     os.makedirs(fake_dir, exist_ok=True)
     opts = dataclasses.replace(
         opts or RenderOptions(), img_size=img_size, num_steps=num_steps, psi=1.0
     )
-    render = make_eval_render_fn(generator, opts, batch_size)
+    render = make_eval_render_fn(generator, opts, batch_size, forward_points=forward_points)
     key = jax.random.PRNGKey(seed)
 
     written = 0

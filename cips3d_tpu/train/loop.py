@@ -337,6 +337,9 @@ def _run_eval_and_checkpoint(
         opts=opts,
         shard_index=jax.process_index(),
         num_shards=jax.process_count(),
+        # yaml stores the sqrt (`forward_points: 256` -> 256^2-pixel chunks,
+        # `gen_images.py:60`)
+        forward_points=(train_cfg.forward_points ** 2 if train_cfg.forward_points else None),
     )
 
     if jax.process_count() > 1:

@@ -132,3 +132,24 @@ class TestInversion:
         assert img.shape == (3, 8, 8)
         assert len(history) == 3
         assert history[-1] <= history[0]
+
+
+class TestChunkedEvalPath:
+    def test_gen_images_chunked(self, gen, tmp_path):
+        """gen_images routes through forward_points chunking when the image
+        exceeds one chunk (`gen_images.py:60`)."""
+        from cips3d_tpu.eval.images import gen_images
+
+        model, params = gen
+        out = str(tmp_path / "fakes")
+        n = gen_images(
+            params, model, out, 3, img_size=8, batch_size=2, num_steps=3,
+            forward_points=16,  # 8*8=64 pixels -> 4 chunks
+        )
+        assert n == 3
+        files = sorted(os.listdir(out))
+        assert len(files) == 3
+        from PIL import Image
+
+        img = np.asarray(Image.open(os.path.join(out, files[0])))
+        assert img.shape == (8, 8, 3)
