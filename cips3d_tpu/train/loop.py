@@ -187,11 +187,19 @@ def train(
         num_workers=loop_cfg.num_workers,
     )
 
-    # two compiled variants cover the aux schedule (`train.py:338`)
+    # compiled variants cover the (aux, lazy-R1) schedule (`train.py:338,387`);
+    # built lazily so a d_reg_every=1 run compiles only what it uses
     step_fns = {}
-    for aux_reg in {True, False}:
-        fn = make_train_step(generator, discriminator, train_cfg, opts, aux_reg=aux_reg)
-        step_fns[aux_reg] = shard_train_step(fn, mesh)
+
+    def get_step_fn(aux_reg: bool, d_regularize: bool):
+        k = (aux_reg, d_regularize)
+        if k not in step_fns:
+            fn = make_train_step(
+                generator, discriminator, train_cfg, opts,
+                aux_reg=aux_reg, d_regularize=d_regularize,
+            )
+            step_fns[k] = shard_train_step(fn, mesh)
+        return step_fns[k]
 
     with mesh:
         if resume or finetune_dir or load_nerf_ema:
@@ -231,7 +239,9 @@ def train(
                 profiling = True
 
             aux_reg = train_cfg.train_aux_img and (step % train_cfg.update_aux_every == 0)
-            state, metrics = step_fns[aux_reg](state, real, k_step)
+            # lazy R1 (`train.py:387`): regularize every d_reg_every steps
+            d_reg = (step % train_cfg.d_reg_every) == 0
+            state, metrics = get_step_fn(aux_reg, d_reg)(state, real, k_step)
             check_finite(pending_finite)
             pending_finite = (metrics["d_finite"], metrics["g_finite"])
 

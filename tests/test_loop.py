@@ -82,3 +82,30 @@ class TestTrainLoopSmoke:
         lcfg2 = dataclasses.replace(lcfg)
         state = train(GCFG, tcfg, opts, lcfg2, resume=True, **kwargs)
         assert int(state.step) >= 2
+
+
+def test_lazy_r1_schedule(tmp_path):
+    """d_reg_every=2: R1 only on even steps (`train.py:387` lazy reg)."""
+    from cips3d_tpu.data.zip_dataset import write_stylegan_zip
+
+    data = str(tmp_path / "d.zip")
+    rng = np.random.default_rng(0)
+    write_stylegan_zip(data, [rng.integers(0, 255, (8, 8, 3), dtype=np.uint8) for _ in range(8)])
+    outdir = str(tmp_path / "run")
+    tcfg = TrainConfig(
+        img_size=8, batch_size=1, grad_points=None, total_iters=2, ema_start_itr=1,
+        d_reg_every=2,
+    )
+    opts = RenderOptions(img_size=8, num_steps=3)
+    lcfg = LoopConfig(
+        outdir=outdir, data_path=data, log_every=1, eval_every=2,
+        fixed_z_bs=2, num_workers=1, debug=True,
+    )
+    train(GCFG, tcfg, opts, lcfg, disc_kwargs={"max_size": 16, "channels_override": TINY},
+          n_devices=2)
+    log = os.path.join(outdir, "textdir", "train.grad_penalty.grad_penalty.log")
+    with open(log) as f:
+        vals = [float(line.split()[1]) for line in f if line.strip()]
+    assert len(vals) == 2
+    assert vals[0] > 0          # step 0: R1 on
+    assert vals[1] == 0         # step 1: lazy-skipped
