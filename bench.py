@@ -77,6 +77,15 @@ def main():
     n_steps = K * n_calls
     imgs_per_sec = n_steps * batch / dt
     print(f"{n_steps} steps in {dt:.2f}s  d_loss={float(loss):.4f}", file=sys.stderr)
+
+    # Real-data sanity phase (not the driver metric): loader -> normalize ->
+    # device put -> per-step dispatch, on the synthetic zip when present.
+    # Quantifies input-pipeline overhead vs the pure-chip number above.
+    try:
+        bench_with_input_pipeline(gen, disc, tcfg, opts, step_fn, state, img_size, batch)
+    except Exception as e:  # never fail the driver metric
+        print(f"input-pipeline phase skipped: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -86,6 +95,38 @@ def main():
                 "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC_PER_CHIP, 2),
             }
         )
+    )
+
+
+def bench_with_input_pipeline(gen, disc, tcfg, opts, step_fn, state, img_size, batch,
+                              n_steps=100):
+    import os
+
+    data = os.environ.get("CIPS3D_BENCH_DATA", "datasets/blobs_64.zip")
+    if not os.path.exists(data):
+        print(f"input-pipeline phase: no dataset at {data}", file=sys.stderr)
+        return
+    from cips3d_tpu.data.zip_dataset import DataLoader, ZipImageDataset, to_norm_tensor
+
+    ds = ZipImageDataset(data, resize_resolution=img_size, xflip=True)
+    loader = DataLoader(ds, batch_size=batch, num_workers=2)
+    fn = jax.jit(step_fn, donate_argnums=(0,))
+    key = jax.random.PRNGKey(1)
+    # warmup (compile of the single-step variant)
+    imgs, _ = next(loader)
+    state, metrics = fn(state, jnp.asarray(to_norm_tensor(imgs)), key)
+    _ = float(metrics["d_loss"])
+    t0 = time.time()
+    for i in range(n_steps):
+        imgs, _ = next(loader)
+        state, metrics = fn(state, jnp.asarray(to_norm_tensor(imgs)), jax.random.fold_in(key, i))
+    _ = float(metrics["d_loss"])
+    dt = time.time() - t0
+    loader.close()
+    print(
+        f"real-data pipeline: {n_steps} steps in {dt:.2f}s = "
+        f"{n_steps * batch / dt:.1f} imgs/s (incl. loader + per-step dispatch)",
+        file=sys.stderr,
     )
 
 

@@ -63,6 +63,9 @@ class GeneratorConfig:
     # Fused Pallas FiLM-SIREN point MLP (ops/pallas/film_mlp.py) — forward
     # only (no custom VJP yet): enable for inference/rendering, not training.
     use_pallas_siren: bool = False
+    # Polynomial sine in the SIREN (ops/fast_sin.py): ~1.7e-5 max abs error,
+    # an inference-only speed knob for the sin-bound point MLP.
+    fast_sin: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -109,6 +112,7 @@ class GeneratorNerfINR(nn.Module):
             hidden_dim=c.nerf_hidden_dim,
             hidden_layers=c.nerf_hidden_layers,
             rgb_dim=c.nerf_rgb_dim,
+            fast_sin=c.fast_sin,
             dtype=self.dtype,
         )
         nerf_heads = {f"nerf_w{i}": c.nerf_style_dim for i in range(c.nerf_hidden_layers)}
@@ -199,7 +203,8 @@ class GeneratorNerfINR(nn.Module):
                 from cips3d_tpu.ops.pallas.film_mlp import siren_forward_pallas
 
                 return siren_forward_pallas(
-                    self.siren.variables["params"], p_flat, style_dict
+                    self.siren.variables["params"], p_flat, style_dict,
+                    fast_sin=self.cfg.fast_sin,
                 ).astype(self.dtype)
             return self.siren(p_flat, style_dict)
 

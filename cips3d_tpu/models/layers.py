@@ -95,6 +95,9 @@ class FiLMSineLayer(nn.Module):
     freq_init: float = 25.0
     gain_scale: float = 15.0
     gain_bias: float = 30.0
+    # inference speed knob: polynomial sine (ops/fast_sin.py) — max abs err
+    # 1.7e-5, below an 8-bit pixel level; keep exact sin for training
+    fast_sin: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -122,6 +125,10 @@ class FiLMSineLayer(nn.Module):
         if x.ndim == 3:
             gain = gain[:, None, :]
             bias = bias[:, None, :]
+        if self.fast_sin:
+            from cips3d_tpu.ops.fast_sin import fast_sin
+
+            return fast_sin(gain * lin(x) + bias)
         return jnp.sin(gain * lin(x) + bias)
 
 

@@ -30,6 +30,7 @@ class NeRFNetwork(nn.Module):
     rgb_dim: int = 32
     box_sidelength: float = 0.24
     name_prefix: str = "nerf"
+    fast_sin: bool = False   # polynomial sine for inference (ops/fast_sin.py)
     dtype: Any = jnp.float32
 
     @property
@@ -44,12 +45,12 @@ class NeRFNetwork(nn.Module):
         """points (b, n, 3) → (b, n, rgb_dim + 1) feature+sigma."""
         x = uniform_box_warp(points.astype(self.dtype), self.box_sidelength)
         for i in range(self.hidden_layers):
-            x = FiLMSineLayer(self.hidden_dim, dtype=self.dtype, name=f"film_{i}")(
+            x = FiLMSineLayer(self.hidden_dim, fast_sin=self.fast_sin, dtype=self.dtype, name=f"film_{i}")(
                 x, style_dict[f"{self.name_prefix}_w{i}"].astype(self.dtype)
             )
         sigma = TorchLinear(1, dtype=self.dtype, name="sigma")(x)
 
-        c = FiLMSineLayer(self.hidden_dim // 2, dtype=self.dtype, name="color_film")(
+        c = FiLMSineLayer(self.hidden_dim // 2, fast_sin=self.fast_sin, dtype=self.dtype, name="color_film")(
             x, style_dict[f"{self.name_prefix}_rgb"].astype(self.dtype)
         )
         rgb = TorchLinear(

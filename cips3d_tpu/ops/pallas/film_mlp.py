@@ -53,19 +53,24 @@ def _film_mlp_kernel(
     out_ref,      # (1, T, R + 1)
     *,
     warp_scale: float,
+    fast_sin: bool = False,
 ):
+    if fast_sin:
+        from cips3d_tpu.ops.fast_sin import fast_sin as _sin
+    else:
+        _sin = jnp.sin
     x = pts_ref[0] * warp_scale  # (T, 3)
 
     h = jnp.dot(x, w0_ref[:], preferred_element_type=jnp.float32) + b0_ref[0]
-    h = jnp.sin(g0_ref[0] * h + f0_ref[0])
+    h = _sin(g0_ref[0] * h + f0_ref[0])
 
     h = jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[0]
-    h = jnp.sin(g1_ref[0] * h + f1_ref[0])
+    h = _sin(g1_ref[0] * h + f1_ref[0])
 
     sigma = jnp.dot(h, ws_ref[:], preferred_element_type=jnp.float32) + bs_ref[0]  # (T, 8)
 
     c = jnp.dot(h, wc_ref[:], preferred_element_type=jnp.float32) + bc_ref[0]
-    c = jnp.sin(gc_ref[0] * c + fc_ref[0])
+    c = _sin(gc_ref[0] * c + fc_ref[0])
 
     rgb = jnp.dot(c, wr_ref[:], preferred_element_type=jnp.float32) + br_ref[0]  # (T, R)
 
@@ -79,6 +84,7 @@ def film_mlp_forward(
     warp_scale: float = 2.0 / 0.24,
     tile: int = DEFAULT_TILE,
     interpret: bool = False,
+    fast_sin: bool = False,
 ) -> jnp.ndarray:
     """Run the fused point MLP.  Returns (b, n, rgb_dim + 1).
 
@@ -135,7 +141,7 @@ def film_mlp_forward(
     )
 
     out = pl.pallas_call(
-        functools.partial(_film_mlp_kernel, warp_scale=warp_scale),
+        functools.partial(_film_mlp_kernel, warp_scale=warp_scale, fast_sin=fast_sin),
         out_shape=jax.ShapeDtypeStruct((b, n_pad, R + 1), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -204,6 +210,7 @@ def siren_forward_pallas(
     warp_scale: float = 2.0 / 0.24,
     tile: int = DEFAULT_TILE,
     interpret: Optional[bool] = None,
+    fast_sin: bool = False,
 ) -> jnp.ndarray:
     """Drop-in equivalent of `NeRFNetwork.__call__` (hidden_layers=2 fp32),
     returning (b, n, rgb_dim + 1).  interpret=None auto-selects interpreter
@@ -212,4 +219,4 @@ def siren_forward_pallas(
         interpret = jax.default_backend() != "tpu"
     weights = extract_siren_weights(siren_params)
     films = compute_films(siren_params, style_dict)
-    return film_mlp_forward(points, weights, films, warp_scale, tile, interpret)
+    return film_mlp_forward(points, weights, films, warp_scale, tile, interpret, fast_sin)
