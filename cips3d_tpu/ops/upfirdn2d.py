@@ -16,19 +16,25 @@ discriminator's blur stack; here `jax.grad(jax.grad(...))` just works.
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Tuple, Union
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
-def make_kernel(k: Union[Sequence[float], jnp.ndarray]) -> jnp.ndarray:
+def make_kernel(k: Union[Sequence[float], jnp.ndarray]) -> np.ndarray:
     """Build a normalized 2D FIR kernel from a 1D or 2D spec
-    (`exp/cips3d/models/discriminator.py:57-65`)."""
-    k = jnp.asarray(k, jnp.float32)
+    (`exp/cips3d/models/discriminator.py:57-65`).
+
+    Returns a CONCRETE numpy array: FIR specs are static config, and keeping
+    them concrete lets `upfirdn2d` pick the banded-matmul lowering (below).
+    """
+    k = np.asarray(k, np.float32)
     if k.ndim == 1:
         k = k[None, :] * k[:, None]
-    k = k / jnp.sum(k)
+    k = k / np.sum(k)
     return k
 
 
@@ -67,8 +73,30 @@ def upfirdn2d_general(
     """
     n, c, h, w = x.shape
     kh, kw = kernel.shape
-    kernel = kernel.astype(x.dtype)
 
+    # Fast path: the FIR spec is concrete and separable (every blur in the
+    # model is outer(k1d, k1d)), so each axis is a small banded matrix and
+    # the whole upfirdn becomes two dense matmuls — MXU-friendly, unlike a
+    # C=1 convolution whose 1-wide contraction profiled ~10x off bandwidth
+    # on TPU (round-2 trace).  Differentiable to any order for free.
+    if isinstance(kernel, np.ndarray):
+        u, s, vt = np.linalg.svd(kernel)
+        if s[0] > 0 and (s[1:].max(initial=0.0) < 1e-6 * s[0]):
+            ky = tuple((u[:, 0] * s[0]).tolist())
+            kx = tuple(vt[0].tolist())
+            my = _axis_matrix(h, ky, up_y, down_y, pad_y0, pad_y1)
+            mx = _axis_matrix(w, kx, up_x, down_x, pad_x0, pad_x1)
+            t = jnp.einsum(
+                "oh,nchw->ncow", jnp.asarray(my, x.dtype), x,
+                preferred_element_type=jnp.float32,
+            )
+            out = jnp.einsum(
+                "ncow,pw->ncop", t.astype(x.dtype), jnp.asarray(mx, x.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            return out.astype(x.dtype)
+
+    kernel = jnp.asarray(kernel, x.dtype)
     # Single-channel conv on (N*C, 1, H, W): the same FIR filter applies to
     # every channel, and folding channels into the batch avoids grouped
     # convolution (feature_group_count=C compiles poorly on some backends and
@@ -88,6 +116,26 @@ def upfirdn2d_general(
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
     return out.reshape(n, c, out.shape[2], out.shape[3])
+
+
+@functools.lru_cache(maxsize=None)
+def _axis_matrix(
+    in_size: int, k1d: Tuple[float, ...], up: int, down: int, pad0: int, pad1: int
+) -> np.ndarray:
+    """(out, in) matrix of the 1-D upfirdn: zero-stuff by ``up`` (to in*up,
+    trailing zeros included), pad, correlate with the flipped taps, stride by
+    ``down`` — the `upfirdn2d_native` spec per axis."""
+    ktap = len(k1d)
+    kflip = k1d[::-1]
+    out_size = (in_size * up + pad0 + pad1 - ktap) // down + 1
+    m = np.zeros((out_size, in_size), np.float32)
+    for o in range(out_size):
+        for t in range(ktap):
+            j = o * down + t - pad0
+            if j < 0 or j >= in_size * up or j % up:
+                continue
+            m[o, j // up] += kflip[t]
+    return m
 
 
 def blur_pad_down(kernel_1d: Sequence[float], kernel_size: int, factor: int = 2) -> Tuple[int, int]:
