@@ -27,7 +27,13 @@ def main():
     img_size = 64
     batch = 4
 
-    gcfg = GeneratorConfig()
+    import os
+
+    # fast_sin (polynomial sine, max abs err 1.7e-5) is part of the benched
+    # training configuration: a 4k-step synthetic campaign reproduces the
+    # exact-sin FID trend (docs/campaign_r32/POSTMORTEM.md).  BENCH_FAST_SIN=0
+    # for exact-sin numbers.
+    gcfg = GeneratorConfig(fast_sin=os.environ.get("BENCH_FAST_SIN", "1") == "1")
     opts = RenderOptions(img_size=img_size, num_steps=12)
     tcfg = TrainConfig(img_size=img_size, batch_size=batch)
 
