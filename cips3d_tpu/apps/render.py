@@ -228,8 +228,9 @@ def render_trajectory_video(
     forward_points: int = 256 ** 2,
 ) -> list:
     """Render a camera-trajectory video for one seed
-    (`st_web.py:289-486` / `web_demo.py:94-191`).  Saves PNG frames (and an
-    mp4 when imageio+ffmpeg are available); returns the frame file list."""
+    (`st_web.py:289-486` / `web_demo.py:94-191`).  Saves PNG frames plus a
+    video (mp4 when an ffmpeg backend exists, else self-contained MJPEG-AVI
+    via `utils/video.py`); returns the frame file list."""
     os.makedirs(out_dir, exist_ok=True)
     xyz, lookup, up = build_trajectory(mode, num_frames)
     zs = sample_zs(jax.random.PRNGKey(seed), 1, generator.cfg)
@@ -266,13 +267,12 @@ def render_trajectory_video(
 
 
 def _maybe_write_mp4(frames, out_path, fps):
-    try:  # pragma: no cover - optional dependency
-        import imageio
+    """Always produces a playable video: mp4 when an ffmpeg backend exists,
+    else a self-contained MJPEG-AVI (`utils/video.py`)."""
+    from PIL import Image
 
-        with imageio.get_writer(out_path, fps=fps) as w:
-            from PIL import Image
+    from cips3d_tpu.utils.video import write_video
 
-            for f in frames:
-                w.append_data(np.asarray(Image.open(f)))
-    except Exception:
-        pass
+    return write_video(
+        [np.asarray(Image.open(f).convert("RGB")) for f in frames], out_path, fps=fps
+    )

@@ -145,15 +145,75 @@ def make_blob_dataset(
     return path
 
 
+def make_blob_pyramid(
+    path_template: str,
+    num_images: int,
+    sizes: tuple = (32, 64, 128, 256),
+    seed: int = 0,
+    h_stddev: float = 0.3,
+    v_stddev: float = 0.155,
+) -> list:
+    """Render each (identity, pose) draw ONCE at ``max(sizes)`` and write one
+    StyleGAN zip per size via box downsampling — the progressive-training
+    counterpart of the reference's per-resolution `downsample_ffhq_*.zip`
+    files (`README.md:150-160`).  ``path_template`` must contain ``{size}``.
+    All zips share identities/poses, so per-stage FID trends are comparable.
+    """
+    import contextlib
+    import io
+    import zipfile
+
+    from PIL import Image
+
+    sizes = sorted(sizes)
+    top = sizes[-1]
+    rng = np.random.default_rng(seed)
+
+    def downs(img, size):
+        f = top // size
+        if f == 1:
+            return img
+        return (
+            img.reshape(size, f, size, f, 3).astype(np.float32).mean(axis=(1, 3))
+        ).round().astype(np.uint8)
+
+    paths = [path_template.format(size=s) for s in sizes]
+    with contextlib.ExitStack() as stack:
+        writers = {
+            s: stack.enter_context(zipfile.ZipFile(p, "w", zipfile.ZIP_STORED))
+            for s, p in zip(sizes, paths)
+        }
+        for i in range(num_images):
+            scene = sample_scene(rng)
+            yaw = math.pi / 2 + rng.normal() * h_stddev
+            pitch = np.clip(math.pi / 2 + rng.normal() * v_stddev, 1e-5, math.pi - 1e-5)
+            img = render_scene(scene, yaw, pitch, top)
+            for s in sizes:
+                buf = io.BytesIO()
+                Image.fromarray(downs(img, s)).save(buf, format="PNG")
+                writers[s].writestr(f"img{i:08d}.png", buf.getvalue())
+            if (i + 1) % 500 == 0:
+                print(f"  rendered {i + 1}/{num_images}")
+    return paths
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("out", help="output zip path")
+    p.add_argument("out", help="output zip path (use {size} with --sizes)")
     p.add_argument("--num", type=int, default=2000)
     p.add_argument("--size", type=int, default=64)
+    p.add_argument("--sizes", default=None,
+                   help="comma list, e.g. 32,64,128,256: render once at the "
+                        "max size, write one zip per size ({size} template)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
-    make_blob_dataset(args.out, args.num, args.size, args.seed)
-    print(f"wrote {args.num} images to {args.out}")
+    if args.sizes:
+        sizes = tuple(int(s) for s in args.sizes.split(","))
+        paths = make_blob_pyramid(args.out, args.num, sizes, args.seed)
+        print(f"wrote {args.num} images to {', '.join(paths)}")
+    else:
+        make_blob_dataset(args.out, args.num, args.size, args.seed)
+        print(f"wrote {args.num} images to {args.out}")
     return 0
 
 

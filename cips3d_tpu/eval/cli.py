@@ -15,6 +15,7 @@ Usage:
   python -m cips3d_tpu.eval.cli sample --ckpt ... --out samples/
   python -m cips3d_tpu.eval.cli multiview --ckpt ... --out grid.png
   python -m cips3d_tpu.eval.cli trajectory --ckpt ... --out video_dir/ --mode circle
+  python -m cips3d_tpu.eval.cli viewer --ckpt ... --out viewer.html
 """
 
 from __future__ import annotations
@@ -45,7 +46,7 @@ def main(argv=None):
 
     apply_platform_env()
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("mode", choices=["fid", "gen", "sample", "multiview", "trajectory"])
+    p.add_argument("mode", choices=["fid", "gen", "sample", "multiview", "trajectory", "viewer"])
     p.add_argument("--ckpt", required=True, help="snapshot dir (e.g. .../ckptdir/best_fid)")
     p.add_argument("--module", default="G_ema")
     p.add_argument("--config", default=None, help="YAML with a `generator:` node "
@@ -119,6 +120,15 @@ def main(argv=None):
             psi=args.psi,
         )
         print(f"wrote {len(frames)} frames to {args.out}")
+    elif args.mode == "viewer":
+        from cips3d_tpu.apps.viewer import export_html_viewer
+
+        out = args.out if args.out.endswith(".html") else os.path.join(args.out, "viewer.html")
+        export_html_viewer(
+            params, gen, out, seeds=args.seeds,
+            img_size=args.img_size, num_steps=args.num_steps, psi=args.psi,
+        )
+        print(f"wrote {out}")
     return 0
 
 

@@ -1,0 +1,116 @@
+"""Video + viewer output tests: MJPEG-AVI round-trip, write_video fallback,
+HTML viewer export.
+
+The reference's demo videos go through imageio/ffmpeg (`st_web.py:445-486`);
+ours must produce playable artifacts with no codec dependencies
+(`cips3d_tpu/utils/video.py`) and a self-contained HTML viewer
+(`cips3d_tpu/apps/viewer.py`, the streamlit `st_web.py` replacement).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def _frames(n=5, size=16):
+    rng = np.random.default_rng(0)
+    return [rng.integers(0, 256, (size, size, 3), dtype=np.uint8) for _ in range(n)]
+
+
+class TestMjpegAvi:
+    def test_round_trip(self, tmp_path):
+        from cips3d_tpu.utils.video import read_mjpeg_avi, write_mjpeg_avi
+
+        frames = _frames()
+        path = str(tmp_path / "clip.avi")
+        write_mjpeg_avi(frames, path, fps=10, quality=95)
+        back = read_mjpeg_avi(path)
+        assert len(back) == len(frames)
+        for a, b in zip(frames, back):
+            assert a.shape == b.shape
+            # JPEG is lossy; q95 on noise stays within a small L-inf band
+            assert np.abs(a.astype(int) - b.astype(int)).mean() < 20
+
+    def test_container_structure(self, tmp_path):
+        from cips3d_tpu.utils.video import write_mjpeg_avi
+
+        path = str(tmp_path / "clip.avi")
+        write_mjpeg_avi(_frames(3), path, fps=25)
+        data = open(path, "rb").read()
+        assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+        # RIFF size field covers the whole payload
+        import struct
+
+        (riff_size,) = struct.unpack("<I", data[4:8])
+        assert riff_size == len(data) - 8
+        for marker in (b"hdrl", b"movi", b"idx1", b"MJPG", b"00dc"):
+            assert marker in data, marker
+
+    def test_generator_input(self, tmp_path):
+        from cips3d_tpu.utils.video import read_mjpeg_avi, write_mjpeg_avi
+
+        path = str(tmp_path / "gen.avi")
+        write_mjpeg_avi((f for f in _frames(4, 8)), path)
+        assert len(read_mjpeg_avi(path)) == 4
+
+    def test_empty_raises(self, tmp_path):
+        from cips3d_tpu.utils.video import write_mjpeg_avi
+
+        with pytest.raises(ValueError):
+            write_mjpeg_avi([], str(tmp_path / "e.avi"))
+
+    def test_write_video_falls_back_to_avi(self, tmp_path):
+        from cips3d_tpu.utils.video import write_video
+
+        out = write_video(_frames(2), str(tmp_path / "clip.mp4"), fps=4)
+        assert os.path.exists(out)
+        # no ffmpeg in this environment -> AVI fallback (mp4 if it appeared)
+        assert out.endswith((".mp4", ".avi"))
+
+
+class TestHtmlViewer:
+    def test_export(self, tmp_path):
+        import jax
+
+        from cips3d_tpu.apps.viewer import export_html_viewer
+        from cips3d_tpu.models.generator import (
+            GeneratorConfig,
+            GeneratorNerfINR,
+            RenderOptions,
+            sample_zs,
+        )
+
+        cfg = GeneratorConfig(
+            z_dim_nerf=16, z_dim_inr=32, nerf_hidden_dim=16, nerf_style_dim=16,
+            nerf_mapping_layers=2, inr_hidden_dim=32, inr_style_dim=32,
+            inr_mapping_layers=2,
+        )
+        model = GeneratorNerfINR(cfg=cfg)
+        key = jax.random.PRNGKey(0)
+        zs = sample_zs(key, 1, cfg)
+        params = model.init(key, zs, key, RenderOptions(img_size=8, num_steps=3))
+
+        out = export_html_viewer(
+            params, model, str(tmp_path / "viewer.html"),
+            seeds=(0, 1), n_yaw=3, n_pitch=2, img_size=8, num_steps=3,
+            forward_points=32,
+        )
+        html = open(out).read()
+        assert "<!doctype html>" in html
+        # frames live in the JS array; the one data: URI is the JS template
+        assert html.count("data:image/jpeg") == 1
+        assert "const F =" in html and "orbit" in html
+        # 2 seeds x 2 pitches x 3 yaws embedded frames
+        import json as _json
+
+        frames = _json.loads(html.split("const F = ")[1].split(";")[0])
+        assert len(frames) == 2 and len(frames[0]) == 2 and len(frames[0][0]) == 3
+        # each entry decodes as a JPEG
+        import base64
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(base64.b64decode(frames[0][0][0])))
+        assert img.size == (8, 8)
