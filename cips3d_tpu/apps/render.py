@@ -46,14 +46,16 @@ def render_chunked(
     camera_pos: Optional[jnp.ndarray] = None,
     camera_lookup: Optional[jnp.ndarray] = None,
     up_vector: Optional[jnp.ndarray] = None,
+    return_depth: bool = False,
 ) -> np.ndarray:
     """Host wrapper around :func:`render_chunked_traced` (numpy out)."""
-    return np.asarray(
-        render_chunked_traced(
-            params, generator, style_dict, opts, key, forward_points,
-            camera_pos, camera_lookup, up_vector,
-        )
+    out = render_chunked_traced(
+        params, generator, style_dict, opts, key, forward_points,
+        camera_pos, camera_lookup, up_vector, return_depth,
     )
+    if return_depth:
+        return np.asarray(out[0]), np.asarray(out[1])
+    return np.asarray(out)
 
 
 def render_chunked_traced(
@@ -66,13 +68,17 @@ def render_chunked_traced(
     camera_pos: Optional[jnp.ndarray] = None,
     camera_lookup: Optional[jnp.ndarray] = None,
     up_vector: Optional[jnp.ndarray] = None,
+    return_depth: bool = False,
 ) -> jnp.ndarray:
     """Render one batch at ``opts.img_size`` in pixel chunks of
     ``forward_points`` (the `forward_points` staged-inference path,
     `generator.py:1406-1473`).  Jittable: the chunk loop is a `lax.map`, so
     only one chunk's activations are live at a time.
 
-    Returns (b, 3, H, W) float images in [-1, 1].
+    Returns (b, 3, H, W) float images in [-1, 1]; with ``return_depth`` also
+    the expected ray depth (b, 1, H, W) — the reference's staged forwards
+    return (pixels, depth_map) pairs (`exp/pigan/models/generators.py`,
+    `st_web.py:34`).
     """
     h = w = opts.img_size
     num_points = h * w
@@ -115,15 +121,20 @@ def render_chunked_traced(
             pitch=world.pitch,
             yaw=world.yaw,
         )
-        img, _ = generator.apply(
-            params, style_dict, sub, opts, k, method=generator.points_forward
+        img, _, depth = generator.apply(
+            params, style_dict, sub, opts, k, method=generator.points_forward,
+            return_depth=True,
         )
-        return img  # (b, chunk, 3)
+        return img, depth  # (b, chunk, 3), (b, chunk, 1)
 
     keys = jax.random.split(k_pts, n_chunks)
-    chunks = jax.lax.map(render_chunk, (jnp.arange(n_chunks), keys))  # (n_chunks, b, chunk, 3)
+    chunks, depths = jax.lax.map(render_chunk, (jnp.arange(n_chunks), keys))
     flat = jnp.transpose(chunks, (1, 0, 2, 3)).reshape(b, num_points, 3)
-    return flat.transpose(0, 2, 1).reshape(b, 3, h, w)
+    img = flat.transpose(0, 2, 1).reshape(b, 3, h, w)
+    if not return_depth:
+        return img
+    dflat = jnp.transpose(depths, (1, 0, 2, 3)).reshape(b, num_points, 1)
+    return img, dflat.transpose(0, 2, 1).reshape(b, 1, h, w)
 
 
 def compute_styles(params, generator, zs, psi: float = 1.0, avg_key=None, avg_samples=2000):
@@ -226,6 +237,7 @@ def render_trajectory_video(
     max_fov: Optional[float] = None,
     fps: int = 40,
     forward_points: int = 256 ** 2,
+    depth: bool = False,
 ) -> list:
     """Render a camera-trajectory video for one seed
     (`st_web.py:289-486` / `web_demo.py:94-191`).  Saves PNG frames plus a
@@ -244,25 +256,38 @@ def render_trajectory_video(
         fovs = np.full(len(xyz), fov)
 
     frames = []
+    depth_frames = []
     for i in range(min(num_frames, len(xyz))):
         opts = RenderOptions(
             img_size=img_size, num_steps=num_steps, fov=float(fovs[i]),
             h_stddev=0.0, v_stddev=0.0, psi=psi,
         )
-        img = render_chunked(
+        out = render_chunked(
             params, generator, styles, opts, jax.random.PRNGKey(seed * 31 + i),
             forward_points=forward_points,
             camera_pos=jnp.asarray(xyz[i: i + 1]),
             camera_lookup=jnp.asarray(lookup[i: i + 1]),
             up_vector=jnp.asarray(up[i: i + 1]) if up is not None else None,
+            return_depth=depth,
         )
+        img, dmap = out if depth else (out, None)
         path = os.path.join(out_dir, f"frame_{i:04d}.png")
         from PIL import Image
 
         Image.fromarray(to_uint8(img[0])).save(path)
         frames.append(path)
+        if depth:
+            # 3-channel grayscale depth, normalized over the ray interval —
+            # the reference expands depth_map to 3 channels (st_web.py:275)
+            d = (np.asarray(dmap[0, 0]) - opts.ray_start) / (opts.ray_end - opts.ray_start)
+            d8 = (np.clip(d, 0.0, 1.0) * 255).astype(np.uint8)
+            dpath = os.path.join(out_dir, f"depth_{i:04d}.png")
+            Image.fromarray(np.stack([d8] * 3, axis=-1)).save(dpath)
+            depth_frames.append(dpath)
 
     _maybe_write_mp4(frames, os.path.join(out_dir, "video.mp4"), fps)
+    if depth_frames:
+        _maybe_write_mp4(depth_frames, os.path.join(out_dir, "depth.mp4"), fps)
     return frames
 
 

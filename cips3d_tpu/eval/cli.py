@@ -69,6 +69,8 @@ def main(argv=None):
     p.add_argument("--seeds", type=int, nargs="*", default=[0, 1, 2, 3])
     p.add_argument("--trajectory-mode", default="circle")
     p.add_argument("--num-frames", type=int, default=30)
+    p.add_argument("--depth", action="store_true",
+                   help="also write depth-map frames + video (trajectory mode)")
     args = p.parse_args(argv)
 
     gen_cfg = GeneratorConfig()
@@ -117,7 +119,7 @@ def main(argv=None):
         frames = render_trajectory_video(
             params, gen, args.out, seed=args.seeds[0], mode=args.trajectory_mode,
             num_frames=args.num_frames, img_size=args.img_size, num_steps=args.num_steps,
-            psi=args.psi,
+            psi=args.psi, depth=args.depth,
         )
         print(f"wrote {len(frames)} frames to {args.out}")
     elif args.mode == "viewer":

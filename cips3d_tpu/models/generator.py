@@ -173,6 +173,7 @@ class GeneratorNerfINR(nn.Module):
         key: jax.Array,
         return_aux_img: bool = True,
         idx_grad: Optional[jnp.ndarray] = None,
+        return_depth: bool = False,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         """Coarse→fine NeRF + INR decode for a set of rays
         (`generator.py:1659-1762`).
@@ -180,7 +181,11 @@ class GeneratorNerfINR(nn.Module):
         world.* have pixel axis n; if ``idx_grad`` is given, only those pixels
         are rendered (gather, `generator.py:1692-1698`).
 
-        Returns (inr_img (b, n', 3), aux_img (b, n', 3) or None).
+        Returns (inr_img (b, n', 3), aux_img (b, n', 3) or None); with
+        ``return_depth`` additionally the expected ray depth (b, n', 1) —
+        the depth_map the reference's staged/explicit-camera forwards expose
+        (`exp/pigan/models/generators.py` returns (pixels, depth_map);
+        `st_web.py:34,441`).
         """
         pts, dirs_exp, z_vals = world.points, world.dirs_expanded, world.z_vals
         origins, dirs = world.origins, world.dirs
@@ -238,7 +243,7 @@ class GeneratorNerfINR(nn.Module):
             all_outputs = jax.lax.stop_gradient(all_outputs)
             all_z = jax.lax.stop_gradient(all_z)
 
-        pixels_fea, _, _ = volume_lib.volume_render(
+        pixels_fea, pixels_depth, _ = volume_lib.volume_render(
             all_outputs,
             all_z,
             noise_key=k_noise_final,
@@ -263,6 +268,8 @@ class GeneratorNerfINR(nn.Module):
         if self.cfg.freeze_nerf:
             aux = jax.lax.stop_gradient(aux)
         aux_img = jnp.tanh(aux)
+        if return_depth:
+            return inr_img, aux_img, jax.lax.stop_gradient(pixels_depth)
         return inr_img, aux_img
 
     # ------------------------------------------------------------------ #

@@ -63,6 +63,46 @@ class TestRenderApps:
         )
         assert len(frames) == 3
         assert all(os.path.exists(f) for f in frames)
+        # a playable video is always produced (MJPEG-AVI without ffmpeg)
+        assert os.path.exists(str(tmp_path / "vid/video.avi")) or os.path.exists(
+            str(tmp_path / "vid/video.mp4")
+        )
+
+    def test_trajectory_video_depth(self, gen, tmp_path):
+        from cips3d_tpu.apps.render import render_trajectory_video
+
+        model, params = gen
+        render_trajectory_video(
+            params, model, str(tmp_path / "vid"), seed=0, mode="yaw",
+            num_frames=2, img_size=8, num_steps=3, depth=True,
+        )
+        for i in range(2):
+            assert os.path.exists(str(tmp_path / f"vid/depth_{i:04d}.png"))
+        assert os.path.exists(str(tmp_path / "vid/depth.avi")) or os.path.exists(
+            str(tmp_path / "vid/depth.mp4")
+        )
+
+    def test_render_chunked_depth(self, gen):
+        """Depth output: finite, inside the ray interval, and background rays
+        (near-zero density at init) integrate to a plausible expected depth."""
+        from cips3d_tpu.apps.render import compute_styles, render_chunked
+
+        model, params = gen
+        zs = sample_zs(jax.random.PRNGKey(1), 1, GCFG)
+        styles = compute_styles(params, model, zs, psi=1.0)
+        opts = RenderOptions(img_size=8, num_steps=3, h_stddev=0, v_stddev=0)
+        img, depth = render_chunked(
+            params, model, styles, opts, jax.random.PRNGKey(2),
+            forward_points=16, return_depth=True,
+        )
+        assert img.shape == (1, 3, 8, 8)
+        assert depth.shape == (1, 1, 8, 8)
+        assert np.all(np.isfinite(depth))
+        # expected depth = sum(w * z) with sum(w) <= 1, z perturbed by up to
+        # one bin width (core/rays.py::perturb_points) -> bounded accordingly
+        bin_w = (opts.ray_end - opts.ray_start) / opts.num_steps
+        assert float(depth.max()) <= opts.ray_end + bin_w + 1e-4
+        assert float(depth.min()) >= 0.0
 
     def test_z_interpolation(self, gen, tmp_path):
         from cips3d_tpu.apps.z_interpolation import render_z_interpolation_video

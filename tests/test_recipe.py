@@ -64,6 +64,29 @@ def test_stage_chain_config_consistency():
     ] is None
 
 
+def test_synthetic_progressive_chain_consistency():
+    """The progressive validation recipe chains its stages the same way and
+    its r256 node reproduces the train_ffhq_high overrides
+    (`exp/cips3d/configs/ffhq_exp.yaml:192-210`) with merge (not replace)
+    semantics for the nested generator/discriminator nodes."""
+    yaml = os.path.join(os.path.dirname(__file__), "..", "configs",
+                        "synthetic_progressive.yaml")
+    prev = "train_r32"
+    for cmd in ("train_r64", "train_r128", "train_r256"):
+        cfg = resolve_command(yaml, cmd)
+        assert cfg.get("load_finetune") is True
+        assert cfg["finetune_dir"] == f"{cfg['outdir']}/{prev}/ckptdir/best_fid"
+        assert cfg["data_path"].endswith(f"blobs_{cfg['img_size']}.zip")
+        prev = cmd
+    hi = resolve_command(yaml, "train_r256")
+    g = hi.generator.to_dict()
+    assert g["freeze_nerf"] is True
+    assert g["inr_hidden_dim"] == 512  # anchor fields survive the override
+    assert hi.discriminator.to_dict()["diffaug"] is True
+    assert hi.get("warmup_d") is True and hi.get("load_nerf_ema") is True
+    assert hi.get("train_aux_img") is False and hi.get("nerf_noise_disable") is True
+
+
 @pytest.mark.slow
 def test_recipe_two_stages_end_to_end(tmp_path, monkeypatch):
     from cips3d_tpu.data.zip_dataset import write_stylegan_zip
