@@ -51,21 +51,30 @@ _PAGE = """<!doctype html>
 <div class="row" id="seeds"></div>
 <div class="row">
   <button id="play">&#9658; orbit</button>
+  <button id="depth" style="display:{depth_display}">depth</button>
   <span id="meta">{n_yaw}&times;{n_pitch} poses &middot; psi {psi}</span>
 </div>
 <script>
 const F = {frames_json};            // [seed][pitch][yaw] -> base64 jpeg
+const D = {depth_json};             // same layout, depth maps (or null)
 const NY = {n_yaw}, NP = {n_pitch}, SEEDS = {seeds_json};
 let si = 0, yi = Math.floor(NY / 2), pi = Math.floor(NP / 2), playing = false;
+let showDepth = false;
 const view = document.getElementById('view');
 const hud = document.getElementById('hud');
 function show() {{
-  view.src = 'data:image/jpeg;base64,' + F[si][pi][yi];
+  const src = (showDepth && D) ? D[si][pi][yi] : F[si][pi][yi];
+  view.src = 'data:image/jpeg;base64,' + src;
   hud.textContent = 'seed ' + SEEDS[si] + ' | yaw ' + (yi + 1) + '/' + NY +
-                    ' | pitch ' + (pi + 1) + '/' + NP;
+                    ' | pitch ' + (pi + 1) + '/' + NP + (showDepth ? ' | depth' : '');
   document.querySelectorAll('#seeds button').forEach(
     (b, i) => b.classList.toggle('on', i === si));
 }}
+document.getElementById('depth').onclick = e => {{
+  showDepth = !showDepth;
+  e.target.classList.toggle('on', showDepth);
+  show();
+}};
 const seedRow = document.getElementById('seeds');
 SEEDS.forEach((s, i) => {{
   const b = document.createElement('button');
@@ -131,12 +140,15 @@ def export_html_viewer(
     forward_points: int = 256 ** 2,
     display: int = 384,
     quality: int = 88,
+    depth: bool = False,
 ) -> str:
     """Render the pose grid and write a self-contained HTML viewer.
 
     One jitted explicit-camera render function is compiled once and reused
     for every (seed, pose) pair; poses sweep ``yaw_span`` x ``pitch_span``
-    radians around the frontal camera (h_mean = v_mean = pi/2).
+    radians around the frontal camera (h_mean = v_mean = pi/2).  With
+    ``depth`` the viewer gains a depth-map toggle (the reference exposes
+    depth alongside RGB, `st_web.py:275`).
     """
     from cips3d_tpu.apps.render import compute_styles, render_chunked
 
@@ -148,31 +160,45 @@ def export_html_viewer(
     pitches = np.pi / 2 + np.linspace(-pitch_span / 2, pitch_span / 2, n_pitch)
     lookup = np.zeros((1, 3))
 
+    def b64(arr_hwc):
+        return base64.b64encode(encode_jpeg(arr_hwc, quality=quality)).decode("ascii")
+
     frames = []
+    depth_frames = [] if depth else None
     for seed in seeds:
         zs = sample_zs(jax.random.PRNGKey(int(seed)), 1, generator.cfg)
         styles = compute_styles(params, generator, zs, psi=psi)
         per_seed = []
+        per_seed_d = []
         for pitch in pitches:
-            row = []
+            row, row_d = [], []
             for yaw in yaws:
-                img = render_chunked(
+                out = render_chunked(
                     params, generator, styles, opts,
                     jax.random.PRNGKey(int(seed)),
                     forward_points=forward_points,
                     camera_pos=jnp.asarray(_camera_position(float(yaw), float(pitch))[None]),
                     camera_lookup=jnp.asarray(lookup),
+                    return_depth=depth,
                 )
-                row.append(
-                    base64.b64encode(
-                        encode_jpeg(to_uint8(img[0]), quality=quality)
-                    ).decode("ascii")
-                )
+                img, dmap = out if depth else (out, None)
+                row.append(b64(to_uint8(img[0])))
+                if depth:
+                    d = (np.asarray(dmap[0, 0]) - opts.ray_start) / (
+                        opts.ray_end - opts.ray_start
+                    )
+                    d8 = (np.clip(d, 0.0, 1.0) * 255).astype(np.uint8)
+                    row_d.append(b64(np.stack([d8] * 3, axis=-1)))
             per_seed.append(row)
+            per_seed_d.append(row_d)
         frames.append(per_seed)
+        if depth:
+            depth_frames.append(per_seed_d)
 
     html = _PAGE.format(
         frames_json=json.dumps(frames),
+        depth_json=json.dumps(depth_frames),
+        depth_display="inline-block" if depth else "none",
         seeds_json=json.dumps([int(s) for s in seeds]),
         n_yaw=n_yaw,
         n_pitch=n_pitch,

@@ -70,7 +70,7 @@ def main(argv=None):
     p.add_argument("--trajectory-mode", default="circle")
     p.add_argument("--num-frames", type=int, default=30)
     p.add_argument("--depth", action="store_true",
-                   help="also write depth-map frames + video (trajectory mode)")
+                   help="also render depth maps (trajectory video / viewer toggle)")
     args = p.parse_args(argv)
 
     gen_cfg = GeneratorConfig()
@@ -129,6 +129,7 @@ def main(argv=None):
         export_html_viewer(
             params, gen, out, seeds=args.seeds,
             img_size=args.img_size, num_steps=args.num_steps, psi=args.psi,
+            depth=args.depth,
         )
         print(f"wrote {out}")
     return 0

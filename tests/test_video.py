@@ -94,7 +94,7 @@ class TestHtmlViewer:
         out = export_html_viewer(
             params, model, str(tmp_path / "viewer.html"),
             seeds=(0, 1), n_yaw=3, n_pitch=2, img_size=8, num_steps=3,
-            forward_points=32,
+            forward_points=32, depth=True,
         )
         html = open(out).read()
         assert "<!doctype html>" in html
@@ -106,6 +106,8 @@ class TestHtmlViewer:
 
         frames = _json.loads(html.split("const F = ")[1].split(";")[0])
         assert len(frames) == 2 and len(frames[0]) == 2 and len(frames[0][0]) == 3
+        depths = _json.loads(html.split("const D = ")[1].split(";")[0])
+        assert depths is not None and len(depths[0][0]) == 3
         # each entry decodes as a JPEG
         import base64
         import io
