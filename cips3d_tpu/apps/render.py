@@ -79,6 +79,10 @@ def render_chunked_traced(
     the expected ray depth (b, 1, H, W) — the reference's staged forwards
     return (pixels, depth_map) pairs (`exp/pigan/models/generators.py`,
     `st_web.py:34`).
+
+    ``camera_lookup`` is a view DIRECTION (the reference's trajectory
+    builders produce ``lookup = -xyz``, `comm_utils.py:101`), not a look-at
+    point — a zero vector normalizes to NaN.
     """
     h = w = opts.img_size
     num_points = h * w

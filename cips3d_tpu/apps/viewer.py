@@ -158,7 +158,6 @@ def export_html_viewer(
     )
     yaws = np.pi / 2 + np.linspace(-yaw_span / 2, yaw_span / 2, n_yaw)
     pitches = np.pi / 2 + np.linspace(-pitch_span / 2, pitch_span / 2, n_pitch)
-    lookup = np.zeros((1, 3))
 
     def b64(arr_hwc):
         return base64.b64encode(encode_jpeg(arr_hwc, quality=quality)).decode("ascii")
@@ -173,12 +172,15 @@ def export_html_viewer(
         for pitch in pitches:
             row, row_d = [], []
             for yaw in yaws:
+                pos = _camera_position(float(yaw), float(pitch))
                 out = render_chunked(
                     params, generator, styles, opts,
                     jax.random.PRNGKey(int(seed)),
                     forward_points=forward_points,
-                    camera_pos=jnp.asarray(_camera_position(float(yaw), float(pitch))[None]),
-                    camera_lookup=jnp.asarray(lookup),
+                    camera_pos=jnp.asarray(pos[None]),
+                    # camera_lookup is a view DIRECTION (the reference builds
+                    # `lookup = -xyz`, comm_utils.py:101) — NOT a look-at point
+                    camera_lookup=jnp.asarray(-pos[None]),
                     return_depth=depth,
                 )
                 img, dmap = out if depth else (out, None)

@@ -263,6 +263,8 @@ def transform_sampled_points(
         )
         forward_vector = normalize_vecs(-camera_origin)
     else:
+        # camera_lookup is a view DIRECTION (trajectory builders produce
+        # `lookup = -xyz`, `comm_utils.py:101`), not a look-at point.
         camera_origin = camera_pos
         pitch = yaw = jnp.zeros((bs, 1), points.dtype)
         forward_vector = normalize_vecs(camera_lookup)

@@ -104,6 +104,24 @@ class TestRenderApps:
         assert float(depth.max()) <= opts.ray_end + bin_w + 1e-4
         assert float(depth.min()) >= 0.0
 
+    def test_render_chunked_explicit_camera_finite(self, gen):
+        """Regression: camera_lookup is a view DIRECTION (`comm_utils.py:101`
+        builds `lookup = -xyz`); passing a look-at *point* of zeros once
+        normalized to NaN and produced uniform-gray frames."""
+        from cips3d_tpu.apps.render import compute_styles, render_chunked
+
+        model, params = gen
+        zs = sample_zs(jax.random.PRNGKey(1), 1, GCFG)
+        styles = compute_styles(params, model, zs, psi=1.0)
+        opts = RenderOptions(img_size=8, num_steps=3, h_stddev=0, v_stddev=0)
+        pos = np.array([[0.3, 0.1, 0.94]])
+        img = render_chunked(
+            params, model, styles, opts, jax.random.PRNGKey(2),
+            forward_points=32,
+            camera_pos=jnp.asarray(pos), camera_lookup=jnp.asarray(-pos),
+        )
+        assert np.all(np.isfinite(img))
+
     def test_z_interpolation(self, gen, tmp_path):
         from cips3d_tpu.apps.z_interpolation import render_z_interpolation_video
 

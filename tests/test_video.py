@@ -116,3 +116,7 @@ class TestHtmlViewer:
 
         img = Image.open(io.BytesIO(base64.b64decode(frames[0][0][0])))
         assert img.size == (8, 8)
+        # (NaN-regression coverage for the explicit-camera path lives in
+        # tests/test_apps.py::test_render_chunked_explicit_camera_finite —
+        # a tiny random model's frames are near-constant, so JPEG equality
+        # across yaw is not a usable signal here)
