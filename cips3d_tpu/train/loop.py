@@ -21,6 +21,7 @@ sharded over 'data', params replicated (the DDP analogue).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 import os
 import time
@@ -73,20 +74,44 @@ class LoopConfig:
     profile_steps: int = 0
 
 
+@functools.lru_cache(maxsize=4)
+def _monitor_render_fn(generator):
+    """One jitted monitor-render fn per generator, cached across evals
+    (a fresh `jax.jit(lambda ...)` per call would recompile every time —
+    expensive through the remote-TPU tunnel).  RenderOptions is a frozen
+    dataclass, so it rides along as a static arg."""
+
+    def fn(p, z, k, o):
+        imgs, _ = generator.apply(p, z, k, o, return_aux_img=True)
+        return imgs
+
+    return jax.jit(fn, static_argnames="o")
+
+
 def save_monitor_images(
     generator, params, ema_params, fixed_zs, opts: RenderOptions, out_dir: str
 ):
     """Fixed-z grids: G, EMA, truncation psi=0.7, tilted, mirror-symmetry
-    probe (`train.py:86-150`)."""
+    probe (`train.py:86-150`).
+
+    The z batch is rendered in sub-batches capped at 8·256² pixels — a
+    whole-image r256 forward of all 16 fixed z's needs ~27 GB of HBM temps
+    (learned from the progressive campaign's monitor OOM); 8 images at r256
+    is the eval-proven size."""
     os.makedirs(out_dir, exist_ok=True)
     key = jax.random.PRNGKey(0)
     base = dataclasses.replace(opts, h_stddev=0.0, v_stddev=0.0)
+    render_fn = _monitor_render_fn(generator)
+    mb_cap = max(1, (8 * 256 ** 2) // (opts.img_size ** 2))
 
     def render(p, o, z=fixed_zs):
-        imgs, _ = jax.jit(
-            lambda p, z, k: generator.apply(p, z, k, o, return_aux_img=True)
-        )(p, z, key)
-        return np.asarray(imgs)
+        n = z["z_nerf"].shape[0]
+        mb = min(n, mb_cap)
+        outs = []
+        for i in range(0, n, mb):
+            sub = {k2: v[i : i + mb] for k2, v in z.items()}
+            outs.append(np.asarray(render_fn(p, sub, key, o)))
+        return np.concatenate(outs) if len(outs) > 1 else outs[0]
 
     bs = fixed_zs["z_nerf"].shape[0]
     nrow = max(1, int(math.sqrt(bs)))
