@@ -310,6 +310,17 @@ def train(
         if profiling:
             jax.profiler.stop_trace()
 
+        # Final eval + checkpoint when total_iters is not a multiple of
+        # eval_every — otherwise the last (total % eval_every) steps would
+        # never reach the resume/best trees (e.g. the r256 stage trains 1200
+        # iters with eval_every 500 and would lose 200 steps of progress).
+        if total > start and total % loop_cfg.eval_every != 0 and not loop_cfg.debug:
+            start_state["step"] = total
+            _run_eval_and_checkpoint(
+                generator, state, fixed_zs, opts, train_cfg, loop_cfg,
+                dataset, ckpt_mgr, textlogger, start_state,
+            )
+
     loader.close()
     textlogger.close()
     return state

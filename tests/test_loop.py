@@ -84,6 +84,29 @@ class TestTrainLoopSmoke:
         assert int(state.step) >= 2
 
 
+def test_final_eval_checkpoint(data_zip, tmp_path):
+    """total_iters not a multiple of eval_every: the trailing steps must
+    still reach the resume tree via the final eval+checkpoint."""
+    import json
+
+    outdir = str(tmp_path / "run3")
+    tcfg = TrainConfig(
+        img_size=8, batch_size=1, grad_points=None, total_iters=3, ema_start_itr=1
+    )
+    opts = RenderOptions(img_size=8, num_steps=3)
+    lcfg = LoopConfig(
+        outdir=outdir, data_path=data_zip, log_every=1, eval_every=2,
+        num_images_real_eval=4, num_images_gen_eval=4, eval_batch_size=2,
+        fixed_z_bs=2, num_workers=1,
+    )
+    state = train(GCFG, tcfg, opts, lcfg,
+                  disc_kwargs={"max_size": 16, "channels_override": TINY},
+                  n_devices=2)
+    assert int(state.step) == 3
+    with open(os.path.join(outdir, "ckptdir", "resume", "state.json")) as f:
+        assert json.load(f)["step"] == 3
+
+
 def test_lazy_r1_schedule(tmp_path):
     """d_reg_every=2: R1 only on even steps (`train.py:387` lazy reg)."""
     from cips3d_tpu.data.zip_dataset import write_stylegan_zip
