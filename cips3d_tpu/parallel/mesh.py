@@ -97,6 +97,31 @@ def shard_train_step(step_fn, mesh: Mesh):
     )
 
 
+def shard_chunk_train_step(chunk_fn, mesh: Mesh):
+    """jit a multi-step chunk fn (state, reals (K, B, ...), key) →
+    (state, stacked_metrics) with params replicated and the batch axis
+    (dim 1) sharded over 'data'.  One dispatch executes K train steps via
+    `lax.scan` — through a remote-device tunnel, per-step dispatch costs
+    ~0.3 s/step of host round-trips that a scanned chunk amortizes."""
+    rep = replicated(mesh)
+    data = NamedSharding(mesh, P(None, "data"))
+    return jax.jit(
+        chunk_fn,
+        in_shardings=(rep, data, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+def shard_chunk_batch(batch, mesh: Mesh):
+    """Device-put a stacked (K, local_B, ...) chunk of batches with dim 1
+    (batch) sharded over 'data'."""
+    sharding = NamedSharding(mesh, P(None, "data"))
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, batch)
+    return jax.device_put(batch, sharding)
+
+
 def shard_batch(batch, mesh: Mesh):
     """Device-put a host batch with dim 0 sharded over 'data'.
 

@@ -107,6 +107,30 @@ def test_final_eval_checkpoint(data_zip, tmp_path):
         assert json.load(f)["step"] == 3
 
 
+def test_chunked_dispatch(data_zip, tmp_path):
+    """dispatch_chunk > 1: steps run as lax.scan chunks between eval
+    boundaries, with per-step metric logs preserved."""
+    outdir = str(tmp_path / "run4")
+    tcfg = TrainConfig(
+        img_size=8, batch_size=1, grad_points=None, total_iters=4, ema_start_itr=1
+    )
+    opts = RenderOptions(img_size=8, num_steps=3)
+    lcfg = LoopConfig(
+        outdir=outdir, data_path=data_zip, log_every=1, eval_every=4,
+        num_images_real_eval=4, num_images_gen_eval=4, eval_batch_size=2,
+        fixed_z_bs=2, num_workers=1, dispatch_chunk=2,
+    )
+    state = train(GCFG, tcfg, opts, lcfg,
+                  disc_kwargs={"max_size": 16, "channels_override": TINY},
+                  n_devices=2)
+    # step 0 runs solo (step-0 eval boundary), steps 1-2 as one chunk, step 3 solo
+    assert int(state.step) == 4
+    log = os.path.join(outdir, "textdir", "train.d_loss.d_loss.log")
+    with open(log) as f:
+        steps = [int(line.split(":")[0]) for line in f if line.strip()]
+    assert steps == [1, 2, 3, 4]  # per-step logs survive chunking
+
+
 def test_lazy_r1_schedule(tmp_path):
     """d_reg_every=2: R1 only on even steps (`train.py:387` lazy reg)."""
     from cips3d_tpu.data.zip_dataset import write_stylegan_zip
