@@ -47,9 +47,28 @@ def volume_render(
       depth:   (b, n, 1)
       weights: (b, n, s, 1)
     """
-    rgbs = rgb_sigma[..., :dim_rgb]
-    sigmas = rgb_sigma[..., dim_rgb:]
+    return volume_render_split(
+        rgb_sigma[..., :dim_rgb],
+        rgb_sigma[..., dim_rgb:],
+        z_vals,
+        noise_key=noise_key,
+        noise_std=noise_std,
+        last_back=last_back,
+        white_back=white_back,
+        clamp_mode=clamp_mode,
+        fill_mode=fill_mode,
+    )
 
+
+def render_weights(
+    sigmas: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    noise_key: Optional[jax.Array] = None,
+    noise_std: float = 0.5,
+    clamp_mode: str = "relu",
+) -> jnp.ndarray:
+    """Compositing weights (b, n, s, 1) from density alone — the rgb-free
+    core of `volume_render` (hierarchical resampling needs only these)."""
     deltas = z_vals[:, :, 1:] - z_vals[:, :, :-1]
     delta_inf = jnp.full_like(deltas[:, :, :1], 1e10)
     deltas = jnp.concatenate([deltas, delta_inf], axis=-2)  # (b, n, s, 1)
@@ -80,7 +99,27 @@ def volume_render(
     logx = jnp.log(jnp.maximum(1.0 - alphas[..., 0], 1e-10))  # (b, n, s)
     excl = jnp.triu(jnp.ones((s, s), logx.dtype), k=1)       # [j, i] = 1 iff j < i
     transmittance = jnp.exp(jnp.einsum("bns,st->bnt", logx, excl))[..., None]
-    weights = alphas * transmittance  # (b, n, s, 1)
+    return alphas * transmittance  # (b, n, s, 1)
+
+
+def volume_render_split(
+    rgbs: jnp.ndarray,
+    sigmas: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    noise_key: Optional[jax.Array] = None,
+    noise_std: float = 0.5,
+    last_back: bool = False,
+    white_back: bool = False,
+    clamp_mode: str = "relu",
+    fill_mode: Optional[str] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """`volume_render` with rgb (b, n, s, c) and sigma (b, n, s, 1) kept as
+    separate tensors — the hot path never concatenates them into a
+    (c+1)-channel tensor (off-lane widths force layout copies on TPU; the
+    slice back out of the packed tensor alone cost ~17 ms/step at r256)."""
+    weights = render_weights(
+        sigmas, z_vals, noise_key=noise_key, noise_std=noise_std, clamp_mode=clamp_mode
+    )
     weights_sum = weights.sum(axis=2)  # (b, n, 1)
 
     if last_back:
@@ -191,15 +230,43 @@ def get_fine_points(
       fine_points: (b, n, num_steps, 3)
       fine_z_vals: (b, n, num_steps, 1)
     """
-    b, n, s, _ = coarse_output.shape
+    return get_fine_points_from_sigma(
+        key,
+        coarse_output[..., dim_rgb:],
+        z_vals,
+        clamp_mode=clamp_mode,
+        noise_std=noise_std,
+        num_steps=num_steps,
+        ray_origins=ray_origins,
+        ray_directions=ray_directions,
+        noise_key=noise_key,
+        det=det,
+    )
 
-    def _resample(coarse_output, z_vals, ray_origins, ray_directions):
-        _, _, weights = volume_render(
-            coarse_output,
+
+def get_fine_points_from_sigma(
+    key: Optional[jax.Array],
+    sigmas: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    clamp_mode: str,
+    noise_std: float,
+    num_steps: int,
+    ray_origins: jnp.ndarray,
+    ray_directions: jnp.ndarray,
+    noise_key: Optional[jax.Array] = None,
+    det: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """`get_fine_points` taking only the density (b, n, s, 1): the resampling
+    weights never depend on the rgb features, so the split hot path avoids
+    slicing them out of a packed (c+1)-channel tensor."""
+    b, n, s, _ = sigmas.shape
+
+    def _resample(sigmas, z_vals, ray_origins, ray_directions):
+        weights = render_weights(
+            sigmas,
             z_vals,
             noise_key=noise_key,
             noise_std=noise_std,
-            dim_rgb=dim_rgb,
             clamp_mode=clamp_mode,
         )
         w = weights.reshape(b * n, s) + 1e-5
@@ -210,7 +277,7 @@ def get_fine_points(
         fine_points = ray_origins[:, :, None, :] + ray_directions[:, :, None, :] * fine_z
         return fine_points, fine_z
 
-    fine_points, fine_z = _resample(coarse_output, z_vals, ray_origins, ray_directions)
+    fine_points, fine_z = _resample(sigmas, z_vals, ray_origins, ray_directions)
     return jax.lax.stop_gradient(fine_points), jax.lax.stop_gradient(fine_z)
 
 
@@ -248,3 +315,89 @@ def merge_sorted_samples(
     all_outputs = jnp.einsum("bnij,bnic->bnjc", perm, all_outputs)
     all_z = jnp.einsum("bnij,bnic->bnjc", perm.astype(all_z.dtype), all_z)
     return all_outputs, all_z
+
+
+def volume_render_unsorted(
+    rgbs: jnp.ndarray,
+    sigmas: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    noise_key: Optional[jax.Array] = None,
+    noise_std: float = 0.5,
+    last_back: bool = False,
+    white_back: bool = False,
+    clamp_mode: str = "relu",
+    fill_mode: Optional[str] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sort-free alpha compositing over samples in ARBITRARY depth order.
+
+    Replaces `merge_sorted_samples(_split)` + `volume_render(_split)` on the
+    hierarchical path: compositing is permutation-invariant given the
+    pairwise before/after relation, so instead of materializing sorted
+    tensors through one-hot permutation matmuls we evaluate
+
+        T_j      = exp(sum_k before[j,k] * log(1 - alpha_k))
+        delta_j  = z_{succ(j)} - z_j          (succ = next sample in depth)
+        rgb      = sum_j alpha_j T_j rgb_j
+
+    where ``before[j,k] = [z_k < z_j or (z_k == z_j and k < j)]`` reproduces
+    the reference's stable [fine, coarse] sort order
+    (`generator.py:1732-1744` sort+gather+fancy_integration).  rgb features
+    are never permuted (the (m x m) x (m x c) permutation matmul and its
+    transpose dominated the merge cost), and per-sample scalars stay in
+    arrival order end to end.
+
+    Inputs: rgbs (b, n, m, c), sigmas/z_vals (b, n, m, 1), any m-order.
+    Returns (rgb (b, n, c), depth (b, n, 1), weights (b, n, m, 1) — weights
+    are in ARRIVAL order, not depth order).
+    """
+    f = rgbs.dtype
+    z = z_vals[..., 0]
+    m = z.shape[-1]
+
+    less = z[..., None, :] < z[..., :, None]          # [j, k] = z_k < z_j
+    equal = z[..., None, :] == z[..., :, None]
+    tie = jnp.arange(m)[None, :] < jnp.arange(m)[:, None]  # k < j
+    before = jnp.logical_or(less, jnp.logical_and(equal, tie)).astype(f)
+    rank = jnp.sum(before, axis=-1)                   # (b, n, m); exact in bf16 for m ≤ 256
+
+    if noise_key is not None and not (isinstance(noise_std, (int, float)) and noise_std == 0):
+        sigmas = sigmas + jax.random.normal(noise_key, sigmas.shape, sigmas.dtype) * noise_std
+    if clamp_mode == "softplus":
+        density = jax.nn.softplus(sigmas)
+    elif clamp_mode == "relu":
+        density = jax.nn.relu(sigmas)
+    else:
+        raise ValueError(f"clamp_mode must be 'relu' or 'softplus', got {clamp_mode!r}")
+
+    # delta_j = z of the depth-successor minus z_j; the depth-last sample
+    # gets the reference's 1e10 sentinel (`pigan_utils.py:228`)
+    succ = (rank[..., :, None] + 1.0 == rank[..., None, :]).astype(f)  # [j, k] = k is succ(j)
+    z_f = z.astype(f)
+    z_next = jnp.einsum("bnjk,bnk->bnj", succ, z_f)
+    is_last = rank == (m - 1)
+    deltas = jnp.where(is_last, jnp.asarray(1e10, f), z_next - z_f)[..., None]
+
+    alphas = 1.0 - jnp.exp(-deltas * density)         # (b, n, m, 1)
+    # see volume_render: floor via maximum, never `+ eps`
+    logx = jnp.log(jnp.maximum(1.0 - alphas[..., 0], 1e-10))
+    transmittance = jnp.exp(jnp.einsum("bnjk,bnk->bnj", before, logx))[..., None]
+    weights = alphas * transmittance
+    weights_sum = weights.sum(axis=2)                 # (b, n, 1)
+
+    if last_back:
+        weights = weights + (1.0 - weights_sum)[:, :, None, :] * is_last[..., None].astype(f)
+
+    rgb_final = jnp.sum(weights * rgbs, axis=-2)
+    depth_final = jnp.sum(weights * z_vals, axis=-2)
+
+    if white_back:
+        rgb_final = rgb_final + 1.0 - weights_sum
+    if fill_mode == "debug":
+        red = jnp.zeros_like(rgb_final).at[..., 0].set(1.0)
+        rgb_final = jnp.where(weights_sum < 0.9, red, rgb_final)
+    elif fill_mode == "weight":
+        rgb_final = jnp.broadcast_to(weights_sum, rgb_final.shape)
+
+    return rgb_final, depth_final, weights
+
+

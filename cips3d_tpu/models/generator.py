@@ -200,6 +200,10 @@ class GeneratorNerfINR(nn.Module):
         k_pdf, k_noise_coarse, k_noise_final = jax.random.split(key, 3)
 
         def siren_eval(p_flat):
+            """→ (rgb (b, n·s, c), sigma (b, n·s, 1)) — rgb and sigma stay
+            separate through the whole volume path (a packed (c+1)-channel
+            tensor forces layout-conversion copies on TPU; ~20% of the r256
+            step's copy time before the split)."""
             if (
                 self.cfg.use_pallas_siren
                 and self.cfg.nerf_hidden_layers == 2
@@ -207,24 +211,26 @@ class GeneratorNerfINR(nn.Module):
             ):
                 from cips3d_tpu.ops.pallas.film_mlp import siren_forward_pallas
 
-                return siren_forward_pallas(
+                packed = siren_forward_pallas(
                     self.siren.variables["params"], p_flat, style_dict,
                     fast_sin=self.cfg.fast_sin,
                 ).astype(self.dtype)
-            return self.siren(p_flat, style_dict)
+                return packed[..., :-1], packed[..., -1:]
+            return self.siren(p_flat, style_dict, split=True)
 
         from cips3d_tpu.utils import debug
 
         debug.trace("points_forward.in", points=pts, dirs=dirs_exp, z_vals=z_vals)
-        coarse = siren_eval(pts.reshape(b, n * s, 3)).reshape(b, n, s, -1)
-        debug.trace("points_forward.coarse", coarse)
+        coarse_rgb, coarse_sigma = siren_eval(pts.reshape(b, n * s, 3))
+        coarse_rgb = coarse_rgb.reshape(b, n, s, -1)
+        coarse_sigma = coarse_sigma.reshape(b, n, s, 1)
+        debug.trace("points_forward.coarse", coarse_rgb, coarse_sigma)
 
         if opts.hierarchical_sample:
-            fine_pts, fine_z = volume_lib.get_fine_points(
+            fine_pts, fine_z = volume_lib.get_fine_points_from_sigma(
                 k_pdf,
-                coarse,
+                coarse_sigma,
                 z_vals,
-                dim_rgb=self.cfg.nerf_rgb_dim,
                 clamp_mode=opts.clamp_mode,
                 noise_std=opts.nerf_noise,
                 num_steps=s,
@@ -232,23 +238,30 @@ class GeneratorNerfINR(nn.Module):
                 ray_directions=dirs,
                 noise_key=k_noise_coarse,
             )
-            fine = siren_eval(fine_pts.reshape(b, n * s, 3)).reshape(b, n, s, -1)
-            all_outputs, all_z = volume_lib.merge_sorted_samples(coarse, z_vals, fine, fine_z)
+            fine_rgb, fine_sigma = siren_eval(fine_pts.reshape(b, n * s, 3))
+            # [fine, coarse] arrival order matches the reference's stable
+            # sort tie-break (`generator.py:1733`); compositing is sort-free
+            all_rgb = jnp.concatenate([fine_rgb.reshape(b, n, s, -1), coarse_rgb], axis=-2)
+            all_sigma = jnp.concatenate([fine_sigma.reshape(b, n, s, 1), coarse_sigma], axis=-2)
+            all_z = jnp.concatenate([fine_z, z_vals], axis=-2)
+            render_fn = volume_lib.volume_render_unsorted
         else:
-            all_outputs, all_z = coarse, z_vals
+            all_rgb, all_sigma, all_z = coarse_rgb, coarse_sigma, z_vals
+            render_fn = volume_lib.volume_render_split
 
         if self.cfg.freeze_nerf:
             # `GeneratorNerfINR_freeze_NeRF.points_forward` runs the whole
             # NeRF stack under no_grad (`generator.py:1972-2040`).
-            all_outputs = jax.lax.stop_gradient(all_outputs)
+            all_rgb = jax.lax.stop_gradient(all_rgb)
+            all_sigma = jax.lax.stop_gradient(all_sigma)
             all_z = jax.lax.stop_gradient(all_z)
 
-        pixels_fea, pixels_depth, _ = volume_lib.volume_render(
-            all_outputs,
+        pixels_fea, pixels_depth, _ = render_fn(
+            all_rgb,
+            all_sigma,
             all_z,
             noise_key=k_noise_final,
             noise_std=opts.nerf_noise,
-            dim_rgb=self.cfg.nerf_rgb_dim,
             white_back=opts.white_back,
             last_back=opts.last_back,
             clamp_mode=opts.clamp_mode,

@@ -41,8 +41,16 @@ class NeRFNetwork(nn.Module):
         return keys
 
     @nn.compact
-    def __call__(self, points: jnp.ndarray, style_dict: Mapping[str, jnp.ndarray]) -> jnp.ndarray:
-        """points (b, n, 3) → (b, n, rgb_dim + 1) feature+sigma."""
+    def __call__(
+        self, points: jnp.ndarray, style_dict: Mapping[str, jnp.ndarray], split: bool = False
+    ) -> jnp.ndarray:
+        """points (b, n, 3) → (b, n, rgb_dim + 1) feature+sigma.
+
+        ``split=True`` returns ``(rgb, sigma)`` uncatenated instead — the hot
+        path uses this to avoid materializing the (rgb_dim+1)-channel tensor,
+        whose off-lane width forces layout-conversion copies on TPU (the
+        concat + downstream re-slice profiled at ~20% of the r256 train
+        step's copy time)."""
         x = uniform_box_warp(points.astype(self.dtype), self.box_sidelength)
         for i in range(self.hidden_layers):
             x = FiLMSineLayer(self.hidden_dim, fast_sin=self.fast_sin, dtype=self.dtype, name=f"film_{i}")(
@@ -56,4 +64,6 @@ class NeRFNetwork(nn.Module):
         rgb = TorchLinear(
             self.rgb_dim, kernel_init=winit.kaiming_leaky_kernel, dtype=self.dtype, name="color_linear"
         )(c)
+        if split:
+            return rgb, sigma
         return jnp.concatenate([rgb, sigma], axis=-1)

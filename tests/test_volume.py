@@ -7,6 +7,7 @@ exp/dev/nerf_inr/models/generator_nerf_inr.py:538-598.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cips3d_tpu.core import volume
 
@@ -208,6 +209,70 @@ class TestHierarchical:
             src[round(float(zz), 6)] = oo
         for zz, oo in zip(np.asarray(z).ravel(), np.asarray(out).reshape(-1, 5)):
             np.testing.assert_allclose(oo, src[round(float(zz), 6)], atol=1e-6)
+
+
+class TestUnsortedRender:
+    """volume_render_unsorted == merge_sorted_samples + volume_render."""
+
+    def _ref_and_unsorted(self, rng, last_back=False, white_back=False, with_ties=False):
+        from cips3d_tpu.core.volume import (
+            merge_sorted_samples,
+            volume_render,
+            volume_render_unsorted,
+        )
+
+        b, n, s, c = 2, 5, 4, 6
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        co = jax.random.normal(k1, (b, n, s, c + 1))
+        fo = jax.random.normal(k2, (b, n, s, c + 1))
+        cz = jnp.sort(jax.random.uniform(k3, (b, n, s, 1)), axis=-2)
+        fz = jnp.sort(jax.random.uniform(k4, (b, n, s, 1)), axis=-2)
+        if with_ties:
+            fz = cz  # every depth duplicated: stresses the stable tie-break
+        merged, mz = merge_sorted_samples(co, cz, fo, fz)
+        ref = volume_render(merged, mz, dim_rgb=c, last_back=last_back, white_back=white_back)
+        got = volume_render_unsorted(
+            jnp.concatenate([fo[..., :c], co[..., :c]], axis=-2),
+            jnp.concatenate([fo[..., c:], co[..., c:]], axis=-2),
+            jnp.concatenate([fz, cz], axis=-2),
+            last_back=last_back,
+            white_back=white_back,
+        )
+        return ref, got
+
+    @pytest.mark.parametrize("last_back,white_back", [(False, False), (True, False), (False, True)])
+    def test_matches_sorted_path(self, rng, last_back, white_back):
+        ref, got = self._ref_and_unsorted(rng, last_back, white_back)
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), atol=1e-5)
+        # weights agree as multisets per ray (arrival vs depth order)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(got[2])[..., 0], axis=-1),
+            np.sort(np.asarray(ref[2])[..., 0], axis=-1),
+            atol=1e-5,
+        )
+
+    def test_matches_with_duplicate_depths(self, rng):
+        ref, got = self._ref_and_unsorted(rng, with_ties=True)
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), atol=1e-5)
+
+    def test_differentiable(self, rng):
+        from cips3d_tpu.core.volume import volume_render_unsorted
+
+        b, n, m, c = 1, 3, 6, 4
+        k1, k2, k3 = jax.random.split(rng, 3)
+        rgb = jax.random.normal(k1, (b, n, m, c))
+        sig = jax.random.normal(k2, (b, n, m, 1))
+        z = jax.random.uniform(k3, (b, n, m, 1))
+
+        def loss(rgb, sig):
+            r, d, w = volume_render_unsorted(rgb, sig, z)
+            return jnp.sum(r ** 2) + jnp.sum(d ** 2)
+
+        g_rgb, g_sig = jax.grad(loss, argnums=(0, 1))(rgb, sig)
+        assert np.isfinite(np.asarray(g_rgb)).all()
+        assert np.isfinite(np.asarray(g_sig)).all()
+        assert float(jnp.abs(g_sig).sum()) > 0
 
 
 class TestEmaAndPoints:

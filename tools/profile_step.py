@@ -25,6 +25,8 @@ def main():
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--out", default="/tmp/step_profile")
     p.add_argument("--top", type=int, default=40)
+    p.add_argument("--fast-sin", action="store_true",
+                   help="profile the bench configuration (polynomial sine)")
     args = p.parse_args()
 
     from cips3d_tpu.models.discriminator import DiscriminatorMultiScaleAux
@@ -32,7 +34,7 @@ def main():
     from cips3d_tpu.train.state import TrainConfig
     from cips3d_tpu.train.step import init_train_state, make_train_step
 
-    gcfg = GeneratorConfig()
+    gcfg = GeneratorConfig(fast_sin=args.fast_sin)
     opts = RenderOptions(img_size=args.img_size, num_steps=12)
     tcfg = TrainConfig(img_size=args.img_size, batch_size=args.batch)
     gen = GeneratorNerfINR(cfg=gcfg, dtype=jnp.bfloat16)
