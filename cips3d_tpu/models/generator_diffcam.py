@@ -88,15 +88,23 @@ class GeneratorDiffcam(GeneratorNerfINR):
             fine = self.siren(
                 fine_pts.reshape(b, n * nerf_kwargs.n_importance, 3), style_dict
             ).reshape(b, n, nerf_kwargs.n_importance, -1)
-            all_out, all_z = volume_lib.merge_sorted_samples(coarse, z_vals, fine, fine_z)
+            c = self.cfg.nerf_rgb_dim
+            # sort-free compositing (volume_render_unsorted); weights are in
+            # arrival order, but only their order-invariant sum is consumed
+            all_out = jnp.concatenate([fine, coarse], axis=-2)
+            all_z = jnp.concatenate([fine_z, z_vals], axis=-2)
+            pixels_fea, depth, weights = volume_lib.volume_render_unsorted(
+                all_out[..., :c], all_out[..., c:], all_z,
+                noise_key=k_n2, noise_std=nerf_kwargs.raw_noise_std,
+                white_back=nerf_kwargs.white_back,
+                last_back=nerf_kwargs.last_back, clamp_mode=nerf_kwargs.clamp_mode,
+            )
         else:
-            all_out, all_z = coarse, z_vals
-
-        pixels_fea, depth, weights = volume_lib.volume_render(
-            all_out, all_z, noise_key=k_n2, noise_std=nerf_kwargs.raw_noise_std,
-            dim_rgb=self.cfg.nerf_rgb_dim, white_back=nerf_kwargs.white_back,
-            last_back=nerf_kwargs.last_back, clamp_mode=nerf_kwargs.clamp_mode,
-        )
+            pixels_fea, depth, weights = volume_lib.volume_render(
+                coarse, z_vals, noise_key=k_n2, noise_std=nerf_kwargs.raw_noise_std,
+                dim_rgb=self.cfg.nerf_rgb_dim, white_back=nerf_kwargs.white_back,
+                last_back=nerf_kwargs.last_back, clamp_mode=nerf_kwargs.clamp_mode,
+            )
         inr_img = self.inr_net(pixels_fea, style_dict)
         imgs = inr_img.transpose(0, 2, 1).reshape(b, 3, h, w)
 

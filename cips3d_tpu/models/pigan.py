@@ -188,14 +188,22 @@ class ImplicitGenerator3d(nn.Module):
                 ray_origins=world.origins, ray_directions=world.dirs, noise_key=k_n1,
             )
             fine = siren_eval(fine_pts)
-            all_out, all_z = volume_lib.merge_sorted_samples(coarse, world.z_vals, fine, fine_z)
+            # sort-free compositing over the [fine, coarse] concat (same
+            # stable order as the reference's sort — see volume_render_unsorted)
+            all_out = jnp.concatenate([fine, coarse], axis=-2)
+            all_z = jnp.concatenate([fine_z, world.z_vals], axis=-2)
+            pixels, _, _ = volume_lib.volume_render_unsorted(
+                all_out[..., :3], all_out[..., 3:], all_z,
+                noise_key=k_n2, noise_std=opts.nerf_noise,
+                white_back=opts.white_back, last_back=opts.last_back,
+                clamp_mode=opts.clamp_mode,
+            )
         else:
-            all_out, all_z = coarse, world.z_vals
-
-        pixels, _, _ = volume_lib.volume_render(
-            all_out, all_z, noise_key=k_n2, noise_std=opts.nerf_noise, dim_rgb=3,
-            white_back=opts.white_back, last_back=opts.last_back, clamp_mode=opts.clamp_mode,
-        )
+            pixels, _, _ = volume_lib.volume_render(
+                coarse, world.z_vals, noise_key=k_n2, noise_std=opts.nerf_noise,
+                dim_rgb=3, white_back=opts.white_back, last_back=opts.last_back,
+                clamp_mode=opts.clamp_mode,
+            )
         h = w = opts.img_size
         imgs = pixels.transpose(0, 2, 1).reshape(b, 3, h, w) * 2.0 - 1.0
         return imgs, jnp.concatenate([world.pitch, world.yaw], axis=-1)
