@@ -2,7 +2,14 @@
 warmup_d — the train_ffhq_high analogue) before launching the progressive
 campaign: confirms the stage fits HBM at batch 4 and records its step time.
 
-Usage:  python tools/measure_r256_step.py [batch] [batch_split]
+Usage:  python tools/measure_r256_step.py [batch] [batch_split] [aux]
+
+``aux`` (0/1, default 0) doubles the D batches with aux images.  The shipped
+r256 stage runs aux OFF (`configs/ffhq.yaml` train_r256 `train_aux_img:
+false`, matching `ffhq_exp.yaml:192-210`); aux=1 exists to probe the
+scan+aux+r256 combination, which hits an XLA scheduling cliff (~655 ms/step
+vs 288 ms/step device time for the identical single-dispatch step — see
+BENCH_NOTES.md round-2 second pass).
 """
 
 import sys
@@ -15,6 +22,7 @@ import jax.numpy as jnp
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     batch_split = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    aux = bool(int(sys.argv[3])) if len(sys.argv) > 3 else False
 
     from cips3d_tpu.models.discriminator import DiscriminatorMultiScaleAux
     from cips3d_tpu.models.generator import GeneratorConfig, GeneratorNerfINR, RenderOptions
@@ -42,7 +50,7 @@ def main():
     key = jax.random.PRNGKey(0)
     print("initializing...", file=sys.stderr)
     state = init_train_state(key, gen, disc, tcfg, opts)
-    step_fn = make_train_step(gen, disc, tcfg, opts, aux_reg=True)
+    step_fn = make_train_step(gen, disc, tcfg, opts, aux_reg=aux)
 
     real = jax.random.uniform(key, (batch, 3, img_size, img_size)) * 2 - 1
 
@@ -72,7 +80,7 @@ def main():
     dt = time.time() - t0
     steps = K * n_calls
     print(
-        f"r256 b{batch} split{batch_split}: {dt / steps * 1000:.1f} ms/step = "
+        f"r256 b{batch} split{batch_split} aux{int(aux)}: {dt / steps * 1000:.1f} ms/step = "
         f"{steps * batch / dt:.2f} imgs/s"
     )
 
