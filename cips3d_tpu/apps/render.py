@@ -141,6 +141,89 @@ def render_chunked_traced(
     return img, dflat.transpose(0, 2, 1).reshape(b, 1, h, w)
 
 
+def render_sharded(
+    params,
+    generator: GeneratorNerfINR,
+    style_dict,
+    opts: RenderOptions,
+    key: jax.Array,
+    mesh,
+    camera_pos: Optional[jnp.ndarray] = None,
+    camera_lookup: Optional[jnp.ndarray] = None,
+    up_vector: Optional[jnp.ndarray] = None,
+    return_depth: bool = False,
+):
+    """Whole-image render with the PIXEL axis sharded over a device mesh —
+    the ray-axis parallelism row of SURVEY §2.6: rays are embarrassingly
+    parallel, so partitioning `points_forward` over pixels needs no
+    collectives until the final host gather.  This is the multi-chip
+    counterpart of `render_chunked` (which trades time for memory on ONE
+    chip): a huge image (r512/r1024 demo sizes, `configs/web_demo.yaml:60`)
+    is rendered in one pass with each chip holding 1/N of the rays.
+
+    The pixel count must be divisible by the mesh's ray-sharding axis size
+    (axis 'rays' if the mesh has one, else its first axis).
+
+    Returns (b, 3, H, W) jnp images (with ``return_depth`` also (b,1,H,W)).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = "rays" if "rays" in mesh.axis_names else mesh.axis_names[0]
+    n_shards = mesh.shape[axis]
+    h = w = opts.img_size
+    assert (h * w) % n_shards == 0, f"{h * w} pixels not divisible by {n_shards} shards"
+    pixel_sharded = NamedSharding(mesh, P(None, axis))
+
+    @jax.jit
+    def _render(params, style_dict, key):
+        k_rays, k_pts = jax.random.split(key)
+        world = rays_lib.get_world_points_and_direction(
+            k_rays,
+            batch_size=next(iter(style_dict.values())).shape[0],
+            num_steps=opts.num_steps,
+            img_size=opts.img_size,
+            fov=opts.fov,
+            ray_start=opts.ray_start,
+            ray_end=opts.ray_end,
+            h_stddev=opts.h_stddev,
+            v_stddev=opts.v_stddev,
+            h_mean=opts.h_mean,
+            v_mean=opts.v_mean,
+            sample_dist=opts.sample_dist,
+            lock_view_dependence=opts.lock_view_dependence,
+            camera_pos=camera_pos,
+            camera_lookup=camera_lookup,
+            up_vector=up_vector,
+            perturb=True,
+        )
+        # constrain the pixel axis (dim 1) onto the mesh: everything from the
+        # SIREN through the INR decode partitions ray-wise with no collectives
+        shard = lambda x: jax.lax.with_sharding_constraint(x, pixel_sharded)
+        world = rays_lib.WorldRays(
+            points=shard(world.points),
+            dirs_expanded=shard(world.dirs_expanded),
+            origins=shard(world.origins),
+            dirs=shard(world.dirs),
+            z_vals=shard(world.z_vals),
+            pitch=world.pitch,
+            yaw=world.yaw,
+        )
+        img, _, depth = generator.apply(
+            params, style_dict, world, opts, k_pts,
+            method=generator.points_forward, return_depth=True,
+        )
+        b = img.shape[0]
+        img = img.transpose(0, 2, 1).reshape(b, 3, h, w)
+        depth = depth.transpose(0, 2, 1).reshape(b, 1, h, w)
+        return img, depth
+
+    with mesh:
+        img, depth = _render(params, style_dict, key)
+    if return_depth:
+        return img, depth
+    return img
+
+
 def compute_styles(params, generator, zs, psi: float = 1.0, avg_key=None, avg_samples=2000):
     """Mapping + optional truncation (host helper)."""
     styles = generator.apply(params, zs["z_nerf"], zs["z_inr"], method=generator.mapping)

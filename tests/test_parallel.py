@@ -45,6 +45,49 @@ class TestMesh:
         np.testing.assert_allclose(np.asarray(sx), np.asarray(x))
 
 
+class TestRaySharding:
+    """Pixel/ray-axis sharded rendering (SURVEY §2.6 ray-axis row): the
+    same render over an 8-way mesh must equal the 1-device run — rays are
+    independent, so partitioning changes nothing but the layout."""
+
+    def test_render_sharded_matches_single_device(self):
+        from cips3d_tpu.apps.render import render_sharded
+        from cips3d_tpu.models.generator import sample_zs
+
+        gen = GeneratorNerfINR(cfg=GCFG)
+        key = jax.random.PRNGKey(0)
+        zs = sample_zs(jax.random.PRNGKey(1), 2, GCFG)
+        params = gen.init(key, zs, key, OPTS)
+        styles = gen.apply(params, zs["z_nerf"], zs["z_inr"], method=gen.mapping)
+
+        cam = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (2, 1))
+        look = -cam
+        kw = dict(camera_pos=cam, camera_lookup=look, return_depth=True)
+        img8, d8 = render_sharded(
+            params, gen, styles, OPTS, key, make_mesh(8), **kw
+        )
+        img1, d1 = render_sharded(
+            params, gen, styles, OPTS, key, make_mesh(1), **kw
+        )
+        assert img8.shape == (2, 3, 8, 8) and d8.shape == (2, 1, 8, 8)
+        np.testing.assert_allclose(np.asarray(img8), np.asarray(img1), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(d8), np.asarray(d1), atol=1e-5)
+
+    def test_render_sharded_rays_axis_of_2d_mesh(self):
+        from cips3d_tpu.apps.render import render_sharded
+        from cips3d_tpu.models.generator import sample_zs
+
+        gen = GeneratorNerfINR(cfg=GCFG)
+        key = jax.random.PRNGKey(0)
+        zs = sample_zs(jax.random.PRNGKey(1), 2, GCFG)
+        params = gen.init(key, zs, key, OPTS)
+        styles = gen.apply(params, zs["z_nerf"], zs["z_inr"], method=gen.mapping)
+        mesh = make_mesh(8, axis_names=("data", "rays"), shape=(2, 4))
+        img = render_sharded(params, gen, styles, OPTS, key, mesh)
+        assert img.shape == (2, 3, 8, 8)
+        assert np.isfinite(np.asarray(img)).all()
+
+
 class TestShardedTrainStep:
     @pytest.fixture(scope="class")
     def setup(self):
