@@ -176,14 +176,21 @@ class DataLoader:
         with ThreadPoolExecutor(self.num_workers) as pool:
             while not self._stop.is_set():
                 idxs = [next(stream) for _ in range(self.batch_size)]
-                items = list(pool.map(self.dataset.__getitem__, idxs))
+                try:
+                    items = list(pool.map(self.dataset.__getitem__, idxs))
+                except RuntimeError:
+                    # interpreter shutdown marks all executors closed
+                    # ("cannot schedule new futures after shutdown") — the
+                    # consumer is gone, just stop
+                    return
                 imgs = np.stack([it[0] for it in items])
                 labels = np.array([it[1] for it in items], np.int32)
-                try:
-                    self._queue.put((imgs, labels), timeout=30)
-                except queue.Full:  # consumer gone
-                    if self._stop.is_set():
-                        return
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put((imgs, labels), timeout=1)
+                        break
+                    except queue.Full:  # consumer slow or gone; re-check stop
+                        continue
 
     def __iter__(self):
         return self
@@ -193,11 +200,15 @@ class DataLoader:
 
     def close(self):
         self._stop.set()
+        # drain so a producer blocked in put() can observe the stop flag,
+        # then join it — otherwise a daemon producer racing interpreter
+        # shutdown dies in ThreadPoolExecutor.submit
         try:
             while True:
                 self._queue.get_nowait()
         except queue.Empty:
             pass
+        self._thread.join(timeout=10)
 
 
 def write_stylegan_zip(

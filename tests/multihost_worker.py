@@ -38,19 +38,40 @@ GCFG = GeneratorConfig(
 
 def main():
     data_zip, outdir = sys.argv[1], sys.argv[2]
+    # Per-step dispatch for the training run: the chunked path compiles a
+    # much bigger program, and on the contended single-core CPU sim the two
+    # processes reach the first Gloo collective > 30 s apart (Gloo's hard
+    # context-init window) — a CPU-sim artifact only; real multi-host TPU
+    # rendezvous through PJRT.  The multi-process piece of chunking
+    # (shard_chunk_batch's make_array_from_process_local_data) is exercised
+    # directly below instead.
     tcfg = TrainConfig(
         img_size=8, batch_size=1, grad_points=None, total_iters=2, ema_start_itr=1
     )
     opts = RenderOptions(img_size=8, num_steps=3)
     lcfg = LoopConfig(
         outdir=outdir, data_path=data_zip, log_every=1, eval_every=2,
-        fixed_z_bs=2, num_workers=1, debug=True,
+        fixed_z_bs=2, num_workers=1, debug=True, dispatch_chunk=1,
     )
     state = train(
         GCFG, tcfg, opts, lcfg,
         disc_kwargs={"max_size": 16, "channels_override": TINY},
     )
     assert int(state.step) == 2
+
+    # multi-process chunk batching: each process contributes its local
+    # (K, local_B, ...) stack; the global array is (K, global_B, ...) with
+    # dim 1 sharded over 'data'
+    import numpy as np
+
+    from cips3d_tpu.parallel.mesh import make_mesh, shard_chunk_batch
+
+    mesh = make_mesh()
+    local = np.full((3, 2, 1), float(jax.process_index()), np.float32)
+    arr = shard_chunk_batch(local, mesh)
+    assert arr.shape == (3, 4, 1), arr.shape
+    for shard in arr.addressable_shards:
+        np.testing.assert_array_equal(np.asarray(shard.data), local[:, :1])
     print(f"WORKER_OK {jax.process_index()}", flush=True)
 
 
