@@ -97,6 +97,28 @@ def shard_train_step(step_fn, mesh: Mesh):
     )
 
 
+def host_barrier(name: str, timeout_s: float = 600.0) -> bool:
+    """Rendezvous all processes through the coordination service — NOT a
+    device collective.  No-op (False) when single-process or uninitialized.
+
+    Used before the first collective dispatch: per-host compile-cache
+    asymmetry can skew hosts' arrival at the first collective by minutes,
+    and the CPU backend's Gloo context init has a hard 30 s window (real
+    TPU rendezvous through PJRT and is far more tolerant, but the barrier
+    is harmless there).  Each call site must use a distinct ``name`` and be
+    reached by every process.
+    """
+    if jax.process_count() <= 1:
+        return False
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:
+        return False
+    client.wait_at_barrier(name, int(timeout_s * 1000))
+    return True
+
+
 def shard_chunk_train_step(chunk_fn, mesh: Mesh):
     """jit a multi-step chunk fn (state, reals (K, B, ...), key) →
     (state, stacked_metrics) with params replicated and the batch axis

@@ -72,6 +72,9 @@ class LoopConfig:
     del_fid_real_images: bool = True
     num_workers: int = 4
     xflip: bool = True
+    # memoize decoded+resized pixels in a uint8 memmap beside the zip —
+    # PNG decode dominates the host pipeline at high res (see zip_dataset)
+    cache_decoded: bool = False
     max_to_keep: int = 3
     debug: bool = False
     # observability (SURVEY §5 tracing row): print per-module shapes at trace
@@ -213,7 +216,10 @@ def train(
     global_batch = train_cfg.batch_size * n_dev
     local_batch = global_batch // jax.process_count()
     dataset = ZipImageDataset(
-        loop_cfg.data_path, resize_resolution=train_cfg.img_size, xflip=loop_cfg.xflip
+        loop_cfg.data_path,
+        resize_resolution=train_cfg.img_size,
+        xflip=loop_cfg.xflip,
+        cache_decoded=loop_cfg.cache_decoded,
     )
     loader = DataLoader(
         dataset,
@@ -288,6 +294,37 @@ def train(
 
                 chunk_fn_cache[k_steps] = shard_chunk_train_step(chunk_fn, mesh)
             return chunk_fn_cache[k_steps]
+
+        # Multi-process: AOT-compile the programs the loop will dispatch
+        # first, then rendezvous through the coordination service before any
+        # collective executes.  Without this, a host whose compile cache is
+        # cold (cache keys are per-host: the serialized executable binds that
+        # host's devices) arrives at the first gradient all-reduce minutes
+        # after a warm host — past the CPU backend's 30 s Gloo context-init
+        # window.  Compilation itself runs no collectives, so it is safe
+        # before the barrier.
+        if jax.process_count() > 1:
+            img = train_cfg.img_size
+            rb = jax.ShapeDtypeStruct(
+                (global_batch, 3, img, img), jnp.float32,
+                sharding=jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec("data")
+                ),
+            )
+            aux0 = train_cfg.train_aux_img and (start % train_cfg.update_aux_every == 0)
+            dreg0 = (start % train_cfg.d_reg_every) == 0
+            get_step_fn(aux0, dreg0).lower(state, rb, key).compile()
+            if use_chunks:
+                rbk = jax.ShapeDtypeStruct(
+                    (chunk_k,) + rb.shape, jnp.float32,
+                    sharding=jax.sharding.NamedSharding(
+                        mesh, jax.sharding.PartitionSpec(None, "data")
+                    ),
+                )
+                get_chunk_fn(chunk_k).lower(state, rbk, key).compile()
+            from cips3d_tpu.parallel.mesh import host_barrier
+
+            host_barrier(f"cips3d_pre_loop_{start}")
 
         # Metrics of dispatch N are inspected while dispatch N+1 executes: by
         # then they have materialized, so device_get does not stall the
