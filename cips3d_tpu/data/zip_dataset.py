@@ -43,11 +43,15 @@ class ZipImageDataset:
         max_size: Optional[int] = None,
         use_labels: bool = False,
         use_native: bool = True,
+        cache_decoded: bool = False,
     ):
         self.path = path
         self.resize_resolution = resize_resolution
         self.xflip = xflip
         self.use_labels = use_labels
+        self.cache_decoded = cache_decoded
+        self._cache: Optional[np.memmap] = None
+        self._cache_done: Optional[np.memmap] = None
         self._local = threading.local()
 
         # optional native C++ reader (zip parse + PNG decode); PIL fallback
@@ -93,12 +97,34 @@ class ZipImageDataset:
             self._local.zf = zipfile.ZipFile(self.path)
         return self._local.zf
 
-    def __getitem__(self, idx: int) -> Tuple[np.ndarray, int]:
-        """Returns (CHW uint8 image, label)."""
-        flip = self.xflip and idx >= self._base_len
-        base_idx = idx % self._base_len
-        name = self._names[base_idx]
+    _cache_lock = threading.Lock()
 
+    def _ensure_cache(self, res: int):
+        if self._cache is not None:
+            return
+        with self._cache_lock:
+            if self._cache is not None:
+                return
+            base = f"{self.path}.decoded_{res}"
+            shape = (self._base_len, res, res, 3)
+            try:
+                cache = np.lib.format.open_memmap(base + ".npy", mode="r+")
+                assert cache.shape == shape
+                done = np.lib.format.open_memmap(base + ".done.npy", mode="r+")
+            except (FileNotFoundError, AssertionError, ValueError):
+                cache = np.lib.format.open_memmap(
+                    base + ".npy", mode="w+", dtype=np.uint8, shape=shape
+                )
+                done = np.lib.format.open_memmap(
+                    base + ".done.npy", mode="w+", dtype=np.uint8,
+                    shape=(self._base_len,),
+                )
+            self._cache_done = done
+            self._cache = cache
+
+    def _decode(self, base_idx: int) -> np.ndarray:
+        """Decode one image (native PNG reader, PIL fallback) + resize → HWC u8."""
+        name = self._names[base_idx]
         arr = None
         if self._native is not None and name.lower().endswith(".png"):
             nidx = self._native_idx.get(name)
@@ -118,6 +144,34 @@ class ZipImageDataset:
                 (self.resize_resolution, self.resize_resolution), Image.LANCZOS
             )
             arr = np.asarray(img, np.uint8)
+        return arr
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, int]:
+        """Returns (CHW uint8 image, label)."""
+        flip = self.xflip and idx >= self._base_len
+        base_idx = idx % self._base_len
+
+        if self.cache_decoded:
+            # decode-once cache: PNG decode dominates the host pipeline at
+            # high resolution (the r256 live loop ran 8.7 imgs/s decode-bound
+            # vs 14.7 imgs/s pure step rate), and every epoch re-decodes the
+            # same images — memoize decoded+resized pixels in a uint8 memmap
+            # beside the zip.  Racing fills are benign (same bytes).
+            arr0 = self._decode(base_idx) if self._cache is None else None
+            if arr0 is not None:
+                self._ensure_cache(arr0.shape[0])
+                self._cache[base_idx] = arr0
+                self._cache_done[base_idx] = 1
+                arr = arr0
+            elif self._cache_done[base_idx]:
+                arr = np.asarray(self._cache[base_idx])
+            else:
+                arr = self._decode(base_idx)
+                self._cache[base_idx] = arr
+                self._cache_done[base_idx] = 1
+        else:
+            arr = self._decode(base_idx)
+
         if flip:
             arr = arr[:, ::-1]
         arr = arr.transpose(2, 0, 1)  # CHW

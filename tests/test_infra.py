@@ -160,6 +160,33 @@ class TestZipDataset:
         img, _ = ds[0]
         assert img.shape == (3, 16, 16)
 
+    def test_cache_decoded(self, tmp_path):
+        import os
+
+        p = str(tmp_path / "d.zip")
+        imgs = _rand_imgs(4, res=16)
+        write_stylegan_zip(p, imgs)
+        ds = ZipImageDataset(p, xflip=True, cache_decoded=True)
+        # first pass populates; values identical to the uncached dataset
+        ref = ZipImageDataset(p, xflip=True)
+        for i in range(len(ds)):
+            np.testing.assert_array_equal(ds[i][0], ref[i][0])
+        cache_file = p + ".decoded_16.npy"
+        assert os.path.exists(cache_file)
+        assert np.all(np.asarray(ds._cache_done) == 1)
+        # a fresh instance reuses the populated memmap (flags persisted)
+        ds2 = ZipImageDataset(p, xflip=True, cache_decoded=True)
+        np.testing.assert_array_equal(ds2[1][0], ref[1][0])
+        np.testing.assert_array_equal(ds2[5][0], ref[5][0])  # xflip half
+
+    def test_cache_decoded_with_resize(self, tmp_path):
+        p = str(tmp_path / "d.zip")
+        write_stylegan_zip(p, _rand_imgs(2, res=32))
+        ds = ZipImageDataset(p, resize_resolution=16, cache_decoded=True)
+        ref = ZipImageDataset(p, resize_resolution=16)
+        np.testing.assert_array_equal(ds[0][0], ref[0][0])
+        np.testing.assert_array_equal(ds[0][0], ref[0][0])  # cached re-read
+
     def test_loader_batches_and_sharding(self, tmp_path):
         p = str(tmp_path / "d.zip")
         write_stylegan_zip(p, _rand_imgs(8))
