@@ -112,7 +112,7 @@ def bench_with_input_pipeline(gen, disc, tcfg, opts, step_fn, state, img_size, b
     if not os.path.exists(data):
         print(f"input-pipeline phase: no dataset at {data}", file=sys.stderr)
         return
-    from cips3d_tpu.data.zip_dataset import DataLoader, ZipImageDataset, to_norm_tensor
+    from cips3d_tpu.data.zip_dataset import DataLoader, ZipImageDataset
 
     ds = ZipImageDataset(data, resize_resolution=img_size, xflip=True)
     loader = DataLoader(ds, batch_size=batch, num_workers=2)
@@ -120,12 +120,12 @@ def bench_with_input_pipeline(gen, disc, tcfg, opts, step_fn, state, img_size, b
     key = jax.random.PRNGKey(1)
     # warmup (compile of the single-step variant)
     imgs, _ = next(loader)
-    state, metrics = fn(state, jnp.asarray(to_norm_tensor(imgs)), key)
+    state, metrics = fn(state, jnp.asarray(imgs), key)  # u8: normalized on device
     _ = float(metrics["d_loss"])
     t0 = time.time()
     for i in range(n_steps):
         imgs, _ = next(loader)
-        state, metrics = fn(state, jnp.asarray(to_norm_tensor(imgs)), jax.random.fold_in(key, i))
+        state, metrics = fn(state, jnp.asarray(imgs), jax.random.fold_in(key, i))
     _ = float(metrics["d_loss"])
     dt = time.time() - t0
     loader.close()

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cips3d_tpu.core.ema import ema_update  # noqa: F401  (re-export convenience)
-from cips3d_tpu.data.zip_dataset import DataLoader, ZipImageDataset, to_norm_tensor
+from cips3d_tpu.data.zip_dataset import DataLoader, ZipImageDataset
 from cips3d_tpu.eval.fid import eval_fid
 from cips3d_tpu.eval.images import gen_images, save_image_grid, setup_evaluation
 from cips3d_tpu.models.discriminator import DiscriminatorMultiScaleAux
@@ -306,7 +306,7 @@ def train(
         if jax.process_count() > 1:
             img = train_cfg.img_size
             rb = jax.ShapeDtypeStruct(
-                (global_batch, 3, img, img), jnp.float32,
+                (global_batch, 3, img, img), jnp.uint8,
                 sharding=jax.sharding.NamedSharding(
                     mesh, jax.sharding.PartitionSpec("data")
                 ),
@@ -316,7 +316,7 @@ def train(
             get_step_fn(aux0, dreg0).lower(state, rb, key).compile()
             if use_chunks:
                 rbk = jax.ShapeDtypeStruct(
-                    (chunk_k,) + rb.shape, jnp.float32,
+                    (chunk_k,) + rb.shape, jnp.uint8,
                     sharding=jax.sharding.NamedSharding(
                         mesh, jax.sharding.PartitionSpec(None, "data")
                     ),
@@ -377,12 +377,13 @@ def train(
 
             key, k_step = jax.random.split(key)
             if k > 1:
-                batches = [to_norm_tensor(next(loader)[0]) for _ in range(k)]
+                # raw uint8: normalization happens on device in the step
+                batches = [next(loader)[0] for _ in range(k)]
                 reals = shard_chunk_batch(np.stack(batches), mesh)
                 state, metrics = get_chunk_fn(k)(state, reals, k_step)
             else:
                 imgs_u8, _ = next(loader)
-                real = shard_batch(to_norm_tensor(imgs_u8), mesh)
+                real = shard_batch(imgs_u8, mesh)
 
                 # profiler window: skip the (compile) warmup steps when the
                 # run is long enough, else trace from the first step

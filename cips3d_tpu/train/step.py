@@ -163,6 +163,11 @@ def make_train_step(
         return loss, {"g_loss": loss, "g_logits_fake": jnp.mean(fake_logits)}
 
     def step_fn(state: TrainState, real_imgs: jnp.ndarray, key: jax.Array):
+        # uint8 batches normalize on device (`to_norm_tensor` analogue):
+        # shipping u8 instead of host-normalized fp32 quarters the host→TPU
+        # transfer (31 → 7.9 MB per 10-step r256 chunk through the tunnel)
+        if real_imgs.dtype == jnp.uint8:
+            real_imgs = real_imgs.astype(jnp.float32) / 127.5 - 1.0
         step = state.step
         alpha = alpha_schedule(step, cfg.warmup_d, cfg.fade_steps)
         k_d, k_gz, k_g = jax.random.split(key, 3)
