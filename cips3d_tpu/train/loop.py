@@ -366,6 +366,10 @@ def train(
                         flush=True,
                     )
 
+        # CIPS3D_LOOP_TIMING=1: print per-phase host timings for each chunk
+        # (data/put/dispatch/pending) — attributes live-loop vs pure-step gaps
+        timing = os.environ.get("CIPS3D_LOOP_TIMING", "") == "1"
+
         step = start
         while step < total:
             # a chunk must not straddle an in-loop eval boundary (eval after
@@ -375,12 +379,22 @@ def train(
             k_max = 1 if step == 0 else min(next_eval - step + 1, total - step)
             k = chunk_k if (use_chunks and k_max >= chunk_k) else 1
 
+            t_iter = time.time()
             key, k_step = jax.random.split(key)
             if k > 1:
                 # raw uint8: normalization happens on device in the step
                 batches = [next(loader)[0] for _ in range(k)]
+                t_data = time.time()
                 reals = shard_chunk_batch(np.stack(batches), mesh)
+                t_put = time.time()
                 state, metrics = get_chunk_fn(k)(state, reals, k_step)
+                if timing:
+                    t_disp = time.time()
+                    print(
+                        f"[timing] chunk@{step}: data {t_data - t_iter:.3f}s "
+                        f"put {t_put - t_data:.3f}s dispatch {t_disp - t_put:.3f}s",
+                        flush=True,
+                    )
             else:
                 imgs_u8, _ = next(loader)
                 real = shard_batch(imgs_u8, mesh)
@@ -404,7 +418,10 @@ def train(
                     profiling = False
                     print(f"profiler trace written to {outdir}/profile", flush=True)
 
+            t_pp = time.time()
             process_pending(pending)
+            if timing:
+                print(f"[timing] pending {time.time() - t_pp:.3f}s", flush=True)
             pending = (step, k, metrics)
 
             step += k
