@@ -81,7 +81,11 @@ def load_pytree_like(path: str, reference) -> Any:
         val = pick(loaded, keys)
         if val.shape != np.shape(leaf):
             raise ValueError(f"shape mismatch at {keys}: ckpt {val.shape} vs model {np.shape(leaf)}")
-        out_leaves.append(val.astype(np.asarray(leaf).dtype))
+        # read dtype from the leaf attribute: np.asarray(device_leaf) would
+        # DOWNLOAD every parameter through the (slow remote) device link just
+        # to learn its dtype — observed as minutes-long checkpoint loads
+        dtype = leaf.dtype if hasattr(leaf, "dtype") else np.asarray(leaf).dtype
+        out_leaves.append(val.astype(dtype))
     treedef = jax.tree_util.tree_structure(reference)
     return jax.tree_util.tree_unflatten(treedef, out_leaves)
 
