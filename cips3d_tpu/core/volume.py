@@ -351,14 +351,19 @@ def volume_render_unsorted(
     are in ARRIVAL order, not depth order).
     """
     f = rgbs.dtype
+    # Integer-valued rank/successor arithmetic must be exact: in bf16 sums are
+    # only exact for m <= 256 and silently corrupt beyond.  Run the ordering
+    # machinery in float32 regardless of the compute dtype (the einsums are
+    # tiny relative to the MLP matmuls).
+    cf = jnp.float32 if jnp.dtype(f).itemsize < 4 else f
     z = z_vals[..., 0]
     m = z.shape[-1]
 
     less = z[..., None, :] < z[..., :, None]          # [j, k] = z_k < z_j
     equal = z[..., None, :] == z[..., :, None]
     tie = jnp.arange(m)[None, :] < jnp.arange(m)[:, None]  # k < j
-    before = jnp.logical_or(less, jnp.logical_and(equal, tie)).astype(f)
-    rank = jnp.sum(before, axis=-1)                   # (b, n, m); exact in bf16 for m ≤ 256
+    before = jnp.logical_or(less, jnp.logical_and(equal, tie)).astype(cf)
+    rank = jnp.sum(before, axis=-1)                   # (b, n, m); exact in f32
 
     if noise_key is not None and not (isinstance(noise_std, (int, float)) and noise_std == 0):
         sigmas = sigmas + jax.random.normal(noise_key, sigmas.shape, sigmas.dtype) * noise_std
@@ -371,16 +376,16 @@ def volume_render_unsorted(
 
     # delta_j = z of the depth-successor minus z_j; the depth-last sample
     # gets the reference's 1e10 sentinel (`pigan_utils.py:228`)
-    succ = (rank[..., :, None] + 1.0 == rank[..., None, :]).astype(f)  # [j, k] = k is succ(j)
-    z_f = z.astype(f)
+    succ = (rank[..., :, None] + 1.0 == rank[..., None, :]).astype(cf)  # [j, k] = k is succ(j)
+    z_f = z.astype(cf)
     z_next = jnp.einsum("bnjk,bnk->bnj", succ, z_f)
     is_last = rank == (m - 1)
-    deltas = jnp.where(is_last, jnp.asarray(1e10, f), z_next - z_f)[..., None]
+    deltas = jnp.where(is_last, jnp.asarray(1e10, cf), z_next - z_f)[..., None].astype(f)
 
     alphas = 1.0 - jnp.exp(-deltas * density)         # (b, n, m, 1)
     # see volume_render: floor via maximum, never `+ eps`
-    logx = jnp.log(jnp.maximum(1.0 - alphas[..., 0], 1e-10))
-    transmittance = jnp.exp(jnp.einsum("bnjk,bnk->bnj", before, logx))[..., None]
+    logx = jnp.log(jnp.maximum(1.0 - alphas[..., 0], 1e-10)).astype(cf)
+    transmittance = jnp.exp(jnp.einsum("bnjk,bnk->bnj", before, logx)).astype(f)[..., None]
     weights = alphas * transmittance
     weights_sum = weights.sum(axis=2)                 # (b, n, 1)
 

@@ -17,7 +17,9 @@ on device (`to_norm_tensor` analogue).  Multi-host: each process reads its
 from __future__ import annotations
 
 import json
+import os
 import queue
+import sys
 import threading
 import zipfile
 from typing import Iterator, List, Optional, Tuple
@@ -107,18 +109,44 @@ class ZipImageDataset:
                 return
             base = f"{self.path}.decoded_{res}"
             shape = (self._base_len, res, res, 3)
-            try:
-                cache = np.lib.format.open_memmap(base + ".npy", mode="r+")
+            data_p, done_p = base + ".npy", base + ".done.npy"
+
+            def _open_existing():
+                cache = np.lib.format.open_memmap(data_p, mode="r+")
                 assert cache.shape == shape
-                done = np.lib.format.open_memmap(base + ".done.npy", mode="r+")
+                done = np.lib.format.open_memmap(done_p, mode="r+")
+                assert done.shape == (self._base_len,)
+                return cache, done
+
+            try:
+                cache, done = _open_existing()
             except (FileNotFoundError, AssertionError, ValueError):
-                cache = np.lib.format.open_memmap(
-                    base + ".npy", mode="w+", dtype=np.uint8, shape=shape
-                )
-                done = np.lib.format.open_memmap(
-                    base + ".done.npy", mode="w+", dtype=np.uint8,
-                    shape=(self._base_len,),
-                )
+                # Cross-process-safe creation: never truncate a path another
+                # process may have mapped (open_memmap mode='w+' on the live
+                # path zeroes pages whose done flags still read 1).  Build
+                # fresh inodes under temp names and atomically rename into
+                # place; an flock serializes concurrent creators.
+                import fcntl
+
+                with open(base + ".lock", "w") as lk:
+                    fcntl.flock(lk, fcntl.LOCK_EX)
+                    try:
+                        cache, done = _open_existing()
+                    except (FileNotFoundError, AssertionError, ValueError):
+                        tmp = f"{base}.tmp{os.getpid()}"
+                        c = np.lib.format.open_memmap(
+                            tmp + ".npy", mode="w+", dtype=np.uint8, shape=shape
+                        )
+                        d = np.lib.format.open_memmap(
+                            tmp + ".done.npy", mode="w+", dtype=np.uint8,
+                            shape=(self._base_len,),
+                        )
+                        c.flush()
+                        d.flush()
+                        del c, d
+                        os.replace(tmp + ".npy", data_p)
+                        os.replace(tmp + ".done.npy", done_p)
+                        cache, done = _open_existing()
             self._cache_done = done
             self._cache = cache
 
@@ -212,6 +240,7 @@ class DataLoader:
         self.shuffle = shuffle
         self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
+        self._error: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._producer, daemon=True)
         self._thread.start()
 
@@ -232,10 +261,19 @@ class DataLoader:
                 idxs = [next(stream) for _ in range(self.batch_size)]
                 try:
                     items = list(pool.map(self.dataset.__getitem__, idxs))
-                except RuntimeError:
-                    # interpreter shutdown marks all executors closed
+                except BaseException as e:
+                    # Interpreter/loader shutdown marks executors closed
                     # ("cannot schedule new futures after shutdown") — the
-                    # consumer is gone, just stop
+                    # consumer is gone, just stop.  Anything else is a real
+                    # decode/reader failure: stash it so __next__ can raise
+                    # instead of blocking forever on an empty queue.
+                    if (
+                        self._stop.is_set()
+                        or sys.is_finalizing()
+                        or "after shutdown" in str(e)
+                    ):
+                        return
+                    self._error = e
                     return
                 imgs = np.stack([it[0] for it in items])
                 labels = np.array([it[1] for it in items], np.int32)
@@ -250,7 +288,16 @@ class DataLoader:
         return self
 
     def __next__(self) -> Tuple[np.ndarray, np.ndarray]:
-        return self._queue.get()
+        while True:
+            try:
+                return self._queue.get(timeout=1)
+            except queue.Empty:
+                if self._error is not None:
+                    raise RuntimeError(
+                        "DataLoader producer thread failed"
+                    ) from self._error
+                if not self._thread.is_alive() and self._queue.empty():
+                    raise RuntimeError("DataLoader producer thread exited")
 
     def close(self):
         self._stop.set()

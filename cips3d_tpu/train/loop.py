@@ -344,6 +344,15 @@ def train(
             def at(v, j):
                 return float(v[j]) if k > 1 else float(v)
 
+            # One wall-clock sample per dispatch: k steps ran since the
+            # previous process_pending.  Several log boundaries can fall
+            # inside one chunk (log_every < k); they must all report the
+            # chunk-averaged rate, not time-since-previous-log-line (which
+            # is microseconds for all but the first).
+            now = time.time()
+            imgs_per_sec = global_batch * k / max(now - t_last, 1e-9)
+            t_last = now
+
             for j in range(k):
                 if not (at(m["d_finite"], j) > 0):
                     _dump_crupted(ckpt_mgr, state, "D_crupted", start_state)
@@ -353,11 +362,7 @@ def train(
                     mj = {name: at(v, j) for name, v in m.items()}
                     summary = {name: {name: v} for name, v in mj.items()}
                     summary["lr"] = {"G_lr": train_cfg.gen_lr, "D_lr": train_cfg.disc_lr}
-                    summary["speed"] = {
-                        "imgs_per_sec": global_batch * loop_cfg.log_every
-                        / max(time.time() - t_last, 1e-9)
-                    }
-                    t_last = time.time()
+                    summary["speed"] = {"imgs_per_sec": imgs_per_sec}
                     textlogger.log_dict(summary, prefix="train", step=base + j + 1)
                     print(
                         f"step {base + j + 1}: d_loss={mj['d_loss']:.4f} "
@@ -441,6 +446,8 @@ def train(
                     textlogger,
                     start_state,
                 )
+                # keep eval/ckpt wall time out of the next speed sample
+                t_last = time.time()
 
         process_pending(pending)
         pending = None
