@@ -25,6 +25,32 @@ import optax
 from cips3d_tpu.models.generator import GeneratorNerfINR, RenderOptions, sample_zs
 
 
+def make_disc_percept_fn(disc_params, discriminator) -> Callable:
+    """Discriminator-feature perceptual extractor for ``percept_fn``.
+
+    The reference Projector uses a pretrained VGG16 perceptual loss
+    (`st_web.py:66-283`); VGG weights are unavailable here, so we use the
+    trained discriminator's own multi-scale ResBlock activations — an
+    in-domain learned feature space.  LPIPS-style normalization: each scale's
+    activations are channel-unit-normalized and weighted 1/sqrt(numel) so all
+    scales contribute comparably; the result is one flat (b, K) vector so the
+    generic ``percept_fn`` L2 hook applies unchanged.
+    """
+
+    def percept(img: jnp.ndarray) -> jnp.ndarray:
+        feats = discriminator.apply(
+            disc_params, img, method=discriminator.features
+        )
+        parts = []
+        for f in feats:
+            f = f / jnp.sqrt(jnp.sum(jnp.square(f), axis=1, keepdims=True) + 1e-8)
+            flat = f.reshape(f.shape[0], -1)
+            parts.append(flat / math.sqrt(flat.shape[-1]))
+        return jnp.concatenate(parts, axis=-1)
+
+    return percept
+
+
 def multiscale_l2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Mean L2 over full + 1/2 + 1/4 resolutions."""
     loss = jnp.mean((a - b) ** 2)

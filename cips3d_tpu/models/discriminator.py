@@ -276,6 +276,21 @@ class DiscriminatorMultiScale(nn.Module):
         debug.trace("disc.logits", out)
         return out
 
+    def features(self, x: jnp.ndarray, alpha=1.0, fade_in: bool = False):
+        """Per-scale ResBlock activations, for the discriminator-feature
+        perceptual loss (`apps/inversion.py::make_disc_percept_fn`; stands in
+        for the VGG16 term of `st_web.py:66-283` in a zero-egress
+        environment).  Returns the list of (b, c_i, h_i, w_i) activations
+        from the input resolution down to 4x4."""
+        size = x.shape[-1]
+        log_size = int(math.log2(size))
+        out = self.conv_in[str(size)](x)
+        feats = []
+        for i in range(log_size, 2, -1):
+            out = self.blocks[str(2 ** i)](out)
+            feats.append(out)
+        return feats
+
     def init_all(self, x4: jnp.ndarray):
         """Touch every head/block once so init materializes the full tree.
 
@@ -353,6 +368,10 @@ class DiscriminatorMultiScaleAux(nn.Module):
             aux_out = self.aux_disc(x[b:], alpha, diffaug_key=k2, fade_in=fade_in)
             return jnp.concatenate([main_out, aux_out], axis=0)
         return self.main_disc(x, alpha, diffaug_key=k1, fade_in=fade_in)
+
+    def features(self, x: jnp.ndarray, alpha=1.0, fade_in: bool = False):
+        """Main-D per-scale activations (see DiscriminatorMultiScale.features)."""
+        return self.main_disc.features(x, alpha, fade_in=fade_in)
 
     def init_all(self, x4: jnp.ndarray):
         return self.main_disc.init_all(x4) + self.aux_disc.init_all(x4)

@@ -19,7 +19,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from cips3d_tpu.models import init as winit
-from cips3d_tpu.models.layers import PixelNorm, TorchLinear
+from cips3d_tpu.models.layers import EqualLinear, PixelNorm, TorchLinear
 
 
 class MultiHeadMappingNetwork(nn.Module):
@@ -68,5 +68,62 @@ class MultiHeadMappingNetwork(nn.Module):
                     h = nn.leaky_relu(h, 0.2)
                 elif self.norm_out:
                     h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"head_norm_{name}")(h)
+            out[name] = h
+        return out
+
+
+class MultiHeadMappingNetworkEqualLR(nn.Module):
+    """Equalized-lr mapping variant (`exp/comm/models/multi_head_mapping.py:172-284`
+    MultiHeadMappingNetwork_EqualLR): PixelNorm → base EqualLinear stack
+    (lr_mul=``lr_mlp``, forward-scale override ``scale`` on base layers) →
+    per-head EqualLinear stacks.  No LayerNorm options.
+
+    With ``base_layers == 0`` the reference consumes one z per head
+    (``z[idx]`` indexed, each pixel-normed); here z must then carry a leading
+    axis of len(head_dim_dict)."""
+
+    hidden_dim: int
+    base_layers: int
+    head_layers: int
+    head_dim_dict: Mapping[str, int]
+    lr_mlp: float = 1.0
+    scale: float = 1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        if self.base_layers > 0:
+            x = PixelNorm()(z.astype(self.dtype))
+            for i in range(self.base_layers):
+                # the reference forwards `scale` verbatim: its default 1.0
+                # OVERRIDES EqualLinear's 1/sqrt(in)·lr_mul forward scale
+                # (`multi_head_mapping.py:200-204`, `mod_conv_fc.py:319-322`)
+                x = EqualLinear(
+                    self.hidden_dim,
+                    lr_mul=self.lr_mlp,
+                    scale=self.scale,
+                    dtype=self.dtype,
+                    name=f"base_{i}",
+                )(x)
+                if self.head_layers > 0 or i != self.base_layers - 1:
+                    x = nn.leaky_relu(x, 0.2)
+            head_inputs = {name: x for name in self.head_dim_dict}
+        else:
+            # one z per head (`multi_head_mapping.py:273-276`)
+            head_inputs = {
+                name: PixelNorm()(z[idx].astype(self.dtype))
+                for idx, name in enumerate(self.head_dim_dict)
+            }
+
+        out: Dict[str, jnp.ndarray] = {}
+        for name, head_dim in self.head_dim_dict.items():
+            h = head_inputs[name]
+            for i in range(self.head_layers):
+                feat = head_dim if i == self.head_layers - 1 else self.hidden_dim
+                h = EqualLinear(
+                    feat, lr_mul=self.lr_mlp, dtype=self.dtype, name=f"head_{name}_{i}"
+                )(h)
+                if i != self.head_layers - 1:
+                    h = nn.leaky_relu(h, 0.2)
             out[name] = h
         return out

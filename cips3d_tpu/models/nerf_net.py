@@ -13,7 +13,7 @@ MXU.  A fused Pallas variant lives in `cips3d_tpu.ops.pallas.film_mlp`.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping
+from typing import Any, Dict, Mapping, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -31,6 +31,9 @@ class NeRFNetwork(nn.Module):
     box_sidelength: float = 0.24
     name_prefix: str = "nerf"
     fast_sin: bool = False   # polynomial sine for inference (ops/fast_sin.py)
+    # color FiLM width; None → hidden_dim // 2 (the L variant uses hidden_dim,
+    # `exp/comm/models/nerf_network.py:264-343` NeRFNetworkL)
+    color_hidden_dim: Optional[int] = None
     dtype: Any = jnp.float32
 
     @property
@@ -58,7 +61,8 @@ class NeRFNetwork(nn.Module):
             )
         sigma = TorchLinear(1, dtype=self.dtype, name="sigma")(x)
 
-        c = FiLMSineLayer(self.hidden_dim // 2, fast_sin=self.fast_sin, dtype=self.dtype, name="color_film")(
+        color_dim = self.color_hidden_dim if self.color_hidden_dim is not None else self.hidden_dim // 2
+        c = FiLMSineLayer(color_dim, fast_sin=self.fast_sin, dtype=self.dtype, name="color_film")(
             x, style_dict[f"{self.name_prefix}_rgb"].astype(self.dtype)
         )
         rgb = TorchLinear(

@@ -117,6 +117,15 @@ def NeRFNetworkSmall(**kwargs) -> NeRFNetwork:
     return NeRFNetwork(**kwargs)
 
 
+def NeRFNetworkL(**kwargs) -> NeRFNetwork:
+    """Wide-color variant (`exp/comm/models/nerf_network.py:264-343`
+    NeRFNetworkL): identical to NeRFNetwork except the color FiLM layer keeps
+    the full hidden width instead of hidden_dim // 2."""
+    kwargs.setdefault("hidden_dim", 128)
+    kwargs.setdefault("color_hidden_dim", kwargs["hidden_dim"])
+    return NeRFNetwork(**kwargs)
+
+
 class LinearSinAct(nn.Module):
     """Linear → sin (`generator_nerf_inr_v16.py:54-68`)."""
 

@@ -191,6 +191,33 @@ class TestInversion:
         assert len(history) == 3
         assert history[-1] <= history[0]
 
+    def test_project_with_disc_percept(self, gen):
+        """Discriminator-feature perceptual term (VGG16 stand-in,
+        `st_web.py:66-283`) plugs into percept_fn and still optimizes."""
+        from cips3d_tpu.apps.inversion import make_disc_percept_fn, project_image
+        from cips3d_tpu.models.discriminator import DiscriminatorMultiScale
+
+        model, params = gen
+        disc = DiscriminatorMultiScale(
+            max_size=8, channels_override={4: 8, 8: 8}, stddev_group=0
+        )
+        dummy = jnp.zeros((1, 3, 8, 8))
+        dparams = disc.init(jax.random.PRNGKey(0), dummy, method=disc.init_all)
+        percept = make_disc_percept_fn(dparams, disc)
+        feats = percept(dummy)
+        assert feats.ndim == 2 and feats.shape[0] == 1
+
+        zs = sample_zs(jax.random.PRNGKey(5), 1, GCFG)
+        opts = RenderOptions(img_size=8, num_steps=3, h_stddev=0, v_stddev=0, sample_dist="mean")
+        target, _ = model.apply(params, zs, jax.random.PRNGKey(6), opts)
+        _, img, history = project_image(
+            params, model, np.asarray(target[0]), num_steps_opt=20, lr=0.05,
+            img_size=8, num_steps=3, avg_samples=64, log_every=10,
+            percept_fn=percept,
+        )
+        assert img.shape == (3, 8, 8)
+        assert history[-1] <= history[0]
+
 
 class TestChunkedEvalPath:
     def test_gen_images_chunked(self, gen, tmp_path):
