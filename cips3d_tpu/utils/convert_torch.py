@@ -146,3 +146,159 @@ def convert_generator_state_dict(
 
 def convert_generator_checkpoint(path: str, **kwargs) -> dict:
     return convert_generator_state_dict(load_torch_checkpoint(path), **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: flax pytree → torch state dict / reference ckpt layout.
+# Makes parity bidirectional: models trained here can be validated (and
+# served) by any torch environment holding the reference code, without
+# network egress on this side (`exp/cips3d/scripts/train.py:56-83` checkpoint
+# layout; the v16 class `generator_nerf_inr_v16.py:1143-1207` is what the
+# released checkpoints instantiate).
+
+
+def _np(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.float32)
+
+
+def _rev_linear(dst: dict, src_tree: dict, name: str):
+    dst[f"{name}.weight"] = _np(src_tree["kernel"]).T.copy()
+    if "bias" in src_tree:
+        dst[f"{name}.bias"] = _np(src_tree["bias"]).copy()
+
+
+def _rev_layernorm(dst: dict, src_tree: dict, name: str):
+    dst[f"{name}.weight"] = _np(src_tree["scale"]).copy()
+    dst[f"{name}.bias"] = _np(src_tree["bias"]).copy()
+
+
+def _rev_film(dst: dict, src_tree: dict, name: str):
+    _rev_linear(dst, src_tree["linear"], f"{name}.linear")
+    _rev_linear(dst, src_tree["gain_fc"], f"{name}.gain_fc")
+    _rev_linear(dst, src_tree["bias_fc"], f"{name}.bias_fc")
+
+
+def _rev_sinstylemod(dst: dict, src_tree: dict, name: str):
+    w = _np(src_tree["weight"])
+    dst[f"{name}.weight"] = w[None].copy()  # (in,out) → (1,in,out)
+    _rev_linear(dst, src_tree["modulation"], f"{name}.modulation")
+    # the reference SinStyleMod registers a LayerNorm that its forward never
+    # touches (`mod_conv_fc.py:445`, all uses commented out); strict
+    # state-dict loading still requires the keys — emit the identity affine
+    dst[f"{name}.norm.weight"] = np.ones((w.shape[0],), np.float32)
+    dst[f"{name}.norm.bias"] = np.zeros((w.shape[0],), np.float32)
+
+
+def _rev_mapping(tree: dict, prefix: str) -> Dict[str, np.ndarray]:
+    """Inverse of `_mapping`: rebuild torch Sequential slot indices.  The
+    layer count and add_norm/norm_out flags are inferred from the tree."""
+    out: Dict[str, np.ndarray] = {}
+    base_layers = sum(1 for k in tree if k.startswith("base_") and not k.startswith("base_norm"))
+    add_norm = "base_norm_0" in tree
+    seq = 0
+    for i in range(base_layers):
+        _rev_linear(out, tree[f"base_{i}"], f"{prefix}.base_net.{seq}")
+        seq += 1
+        if i != base_layers - 1:
+            if add_norm:
+                _rev_layernorm(out, tree[f"base_norm_{i}"], f"{prefix}.base_net.{seq}")
+                seq += 1
+            seq += 1  # LeakyReLU slot
+    if "norm_out" in tree:
+        _rev_layernorm(out, tree["norm_out"], f"{prefix}.base_net.{seq}")
+    return out
+
+
+def export_generator_state_dict(params: dict, rgb_attr: str = "to_rgbs") -> Dict[str, np.ndarray]:
+    """flax params ({"params": {...}} or the inner dict) → torch
+    GeneratorNerfINR state dict (numpy values).
+
+    ``rgb_attr``: both the refactored and the v16 released-checkpoint class
+    name the CIPSNet RGB heads ``to_rgbs`` (`generator.py:1084`,
+    `generator_nerf_inr_v16.py`); some dev INR variants spell it ``to_rbgs``.
+    Inverse of `convert_generator_state_dict`; round-trip parity is asserted
+    against the imported torch classes in tests/test_reference_parity.py.
+    """
+    p = params.get("params", params)
+    sd: Dict[str, np.ndarray] = {}
+
+    siren = p["siren"]
+    films = sorted(
+        (k for k in siren if k.startswith("film_")), key=lambda k: int(k.split("_")[1])
+    )
+    for i, k in enumerate(films):
+        _rev_film(sd, siren[k], f"siren.network.{i}")
+    _rev_linear(sd, siren["sigma"], "siren.final_layer")
+    _rev_film(sd, siren["color_film"], "siren.color_layer_sine")
+    _rev_linear(sd, siren["color_linear"], "siren.color_layer_linear.0")
+
+    sd.update(_rev_mapping(p["mapping_network_nerf"], "mapping_network_nerf"))
+    sd.update(_rev_mapping(p["mapping_network_inr"], "mapping_network_inr"))
+
+    inr = p["inr_net"]
+    for k in inr:
+        if k.startswith("block_"):
+            res = k[len("block_"):]
+            _rev_sinstylemod(sd, inr[k]["mod1"], f"inr_net.network.{res}.mod1")
+            _rev_sinstylemod(sd, inr[k]["mod2"], f"inr_net.network.{res}.mod2")
+        elif k.startswith("to_rgb_"):
+            res = k[len("to_rgb_"):]
+            _rev_linear(sd, inr[k]["linear"], f"inr_net.{rgb_attr}.{res}.linear")
+    # torch materializes ToRGB heads for EVERY block, but forward only uses
+    # them from to_rgb_start=3 (`generator.py:1139-1144`); our flax model
+    # never creates the dead low-res heads — emit zero-filled placeholders so
+    # strict state-dict loading succeeds
+    for k in inr:
+        if k.startswith("block_") and f"to_rgb_{k[len('block_'):]}" not in inr:
+            res = k[len("block_"):]
+            hidden = _np(inr[k]["mod1"]["weight"]).shape[1]
+            out_dim = 3
+            for other in inr:
+                if other.startswith("to_rgb_"):
+                    out_dim = _np(inr[other]["linear"]["kernel"]).shape[1]
+                    break
+            sd[f"inr_net.{rgb_attr}.{res}.linear.weight"] = np.zeros(
+                (out_dim, hidden), np.float32
+            )
+            sd[f"inr_net.{rgb_attr}.{res}.linear.bias"] = np.zeros((out_dim,), np.float32)
+    if "out_linear" in inr:
+        _rev_linear(sd, inr["out_linear"], "inr_net.tanh.0")
+
+    _rev_linear(sd, p["aux_to_rgb"], "aux_to_rbg.0")
+    return sd
+
+
+def save_torch_checkpoint(sd: Dict[str, np.ndarray], path: str):
+    """Write a state dict as a torch ``.pth`` the reference can load."""
+    import torch
+
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, path)
+
+
+def export_reference_checkpoint_dir(
+    out_dir: str,
+    G_ema: dict,
+    generator: dict | None = None,
+    info_msg: str = "",
+    **extra_models: dict,
+):
+    """Emit the reference's directory-of-modules checkpoint layout
+    (`exp/cips3d/scripts/train.py:56-83` / tl2 ``save_models``): one
+    ``<name>_model.pth`` state-dict file per module plus an info message.
+    ``G_ema``/``generator`` are flax param trees; ``extra_models`` lets
+    callers add pre-built torch state dicts (e.g. a discriminator)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    save_torch_checkpoint(
+        export_generator_state_dict(G_ema), os.path.join(out_dir, "G_ema_model.pth")
+    )
+    if generator is not None:
+        save_torch_checkpoint(
+            export_generator_state_dict(generator),
+            os.path.join(out_dir, "generator_model.pth"),
+        )
+    for name, sd in extra_models.items():
+        save_torch_checkpoint(sd, os.path.join(out_dir, f"{name}_model.pth"))
+    with open(os.path.join(out_dir, "info.txt"), "w") as f:
+        f.write(info_msg + "\n")

@@ -232,3 +232,85 @@ class TestV16Generator:
         sd_a = {k: tuple(v.shape) for k, v in refactored[0].state_dict().items()}
         sd_b = {k: tuple(v.shape) for k, v in v16[0].state_dict().items()}
         assert sd_a == sd_b
+
+
+class TestReverseConversion:
+    """pytree → torch `.pth` (`utils/convert_torch.py::export_generator_state_dict`):
+    models trained HERE must be loadable and numerically reproducible by the
+    reference torch classes (VERDICT r2 next-#4)."""
+
+    def test_round_trip_exact(self, refactored):
+        """torch → pytree → torch is bit-exact on every tensor."""
+        from cips3d_tpu.utils.convert_torch import export_generator_state_dict
+
+        g, params = refactored
+        sd_ref = {k: v.detach().numpy() for k, v in g.state_dict().items()}
+        sd_out = export_generator_state_dict(params)
+        assert set(sd_out) == set(sd_ref)
+        for k in sd_ref:
+            np.testing.assert_array_equal(sd_out[k], sd_ref[k], err_msg=k)
+
+    @pytest.mark.parametrize("which", ["refactored", "v16"])
+    def test_torch_reproduces_jax_forward(self, refactored, v16, ours, world, which):
+        """A FRESH JAX-initialized model (never seen by torch) exports to a
+        state dict both reference classes load with strict=True and then
+        reproduce our mapping + points_forward at rtol 1e-4."""
+        from cips3d_tpu.models.generator import RenderOptions as RO
+        from cips3d_tpu.models.generator import sample_zs
+        from cips3d_tpu.utils.convert_torch import export_generator_state_dict
+
+        key = jax.random.PRNGKey(42)
+        zs0 = sample_zs(key, 1, ours.cfg)
+        params = ours.init(key, zs0, key, RO(img_size=4, num_steps=NSTEPS))
+        sd = export_generator_state_dict(params)
+
+        g_src = (refactored if which == "refactored" else v16)[0]
+        g_new = type(g_src)(
+            z_dim=256,
+            nerf_cfg=dict(NERF_CFG),
+            mapping_nerf_cfg=dict(MAPPING_NERF_CFG),
+            inr_cfg=dict(INR_CFG),
+            mapping_inr_cfg=dict(
+                MAPPING_INR_CFG if which == "refactored" else MAPPING_INR_CFG_V16
+            ),
+            device="cpu",
+        ).eval()
+        missing, unexpected = g_new.load_state_dict(
+            {k: torch.from_numpy(v) for k, v in sd.items()}, strict=True
+        )
+        assert not missing and not unexpected
+
+        z_nerf, z_inr = _zs()
+        styles_t = _torch_styles(g_new, z_nerf, z_inr)
+        styles_j = ours.apply(
+            params, jnp.asarray(z_nerf), jnp.asarray(z_inr), method=ours.mapping
+        )
+        for k in styles_t:
+            np.testing.assert_allclose(
+                np.asarray(styles_j[k]), styles_t[k].numpy(), rtol=1e-4, atol=1e-5,
+                err_msg=k,
+            )
+        inr_t, aux_t = _torch_points_forward(g_new, styles_t, world)
+        inr_j, aux_j = _ours_points_forward(ours, params, styles_t, world)
+        np.testing.assert_allclose(inr_j, inr_t, rtol=1e-4, atol=2e-5)
+        np.testing.assert_allclose(aux_j, aux_t, rtol=1e-4, atol=2e-5)
+
+    def test_reference_ckpt_dir_layout(self, refactored, tmp_path):
+        """export_reference_checkpoint_dir emits the dir-of-modules layout
+        (`train.py:56-83`) and the files reload through the FORWARD
+        converter unchanged."""
+        from cips3d_tpu.utils.convert_torch import (
+            convert_generator_checkpoint,
+            export_reference_checkpoint_dir,
+        )
+
+        _, params = refactored
+        out = tmp_path / "ckpt"
+        export_reference_checkpoint_dir(str(out), G_ema=params, info_msg="step 0")
+        assert (out / "G_ema_model.pth").exists() and (out / "info.txt").exists()
+        back = convert_generator_checkpoint(str(out / "G_ema_model.pth"))
+        flat_a = jax.tree_util.tree_leaves(params)
+        flat_b = jax.tree_util.tree_leaves(back)
+        assert len(flat_a) == len(flat_b)
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
