@@ -5,8 +5,11 @@ arXiv 2006.10738): color (brightness/saturation/contrast), integer translation
 by up to 1/8 of the image, and cutout of ~1/5 — all differentiable w.r.t. the
 image so D's gradients flow back to G through the augmented pipeline.
 
-All shapes static; per-sample integer offsets are traced values handled with
-`take_along_axis` index arithmetic (no dynamic shapes).
+All shapes static; per-sample integer offsets are traced values.  TPU note:
+`take_along_axis`/scatter over the spatial axes lower to slow gather loops
+(the same class of op the volume path excised in round 1), so translation is
+expressed as batched one-hot permutation matmuls (MXU) and cutout's clipped
+box — always a contiguous [lo, hi] range — as pure iota comparisons.
 Input/output: NCHW.
 """
 
@@ -47,14 +50,17 @@ def rand_translation(key, x, ratio=0.125):
     tw = jax.random.randint(kw, (b, 1, 1), -shift_w, shift_w + 1)
 
     # Reference pads by 1 then clamps indices into [0, H+1]; out-of-range
-    # shifts read the zero padding.
-    x_pad = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    # shifts read the zero padding.  out[i] = x_pad[clip(i + t + 1, 0, H+1)]
+    # is a per-sample row/col selection — materialized as one-hot selection
+    # matrices contracted on the MXU instead of take_along_axis gathers.
     grid_h = jnp.clip(jnp.arange(h)[None, :, None] + th + 1, 0, h + 1)  # (b, h, 1)
     grid_w = jnp.clip(jnp.arange(w)[None, None, :] + tw + 1, 0, w + 1)  # (b, 1, w)
+    sel_h = (grid_h == jnp.arange(h + 2)[None, None, :]).astype(x.dtype)  # (b, h, h+2)
+    sel_w = (grid_w[:, 0, :, None] == jnp.arange(w + 2)[None, None, :]).astype(x.dtype)  # (b, w, w+2)
 
-    # gather rows then cols
-    out = jnp.take_along_axis(x_pad, jnp.broadcast_to(grid_h[:, None, :, :], (b, c, h, 1)), axis=2)
-    out = jnp.take_along_axis(out, jnp.broadcast_to(grid_w[:, None, :, :], (b, c, h, w)), axis=3)
+    x_pad = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    out = jnp.einsum("bij,bcjk->bcik", sel_h, x_pad)  # rows: (b, c, h, w+2)
+    out = jnp.einsum("bkj,bcij->bcik", sel_w, out)    # cols: (b, c, h, w)
     return out
 
 
@@ -63,22 +69,26 @@ def rand_cutout(key, x, ratio=0.2):
     b, c, h, w = x.shape
     cut_h = int(h * ratio + 0.5)
     cut_w = int(w * ratio + 0.5)
+    if cut_h == 0 or cut_w == 0:
+        return x
     kh, kw = jax.random.split(key)
     off_h = jax.random.randint(kh, (b, 1, 1), 0, h + (1 - cut_h % 2))
     off_w = jax.random.randint(kw, (b, 1, 1), 0, w + (1 - cut_w % 2))
 
     # Box-center semantics of the reference: covered rows are
-    # clip(arange(cut) + off - cut//2, 0, h-1).
-    rows = jnp.clip(jnp.arange(cut_h)[None, :, None] + off_h - cut_h // 2, 0, h - 1)  # (b, cut_h, 1)
-    cols = jnp.clip(jnp.arange(cut_w)[None, None, :] + off_w - cut_w // 2, 0, w - 1)  # (b, 1, cut_w)
+    # clip(arange(cut) + off - cut//2, 0, h-1) — after clipping always the
+    # contiguous range [clip(off - cut//2), clip(cut-1 + off - cut//2)], so
+    # the mask is two iota range tests instead of a scatter.
+    lo_h = jnp.clip(off_h - cut_h // 2, 0, h - 1)            # (b, 1, 1)
+    hi_h = jnp.clip(cut_h - 1 + off_h - cut_h // 2, 0, h - 1)
+    lo_w = jnp.clip(off_w - cut_w // 2, 0, w - 1)
+    hi_w = jnp.clip(cut_w - 1 + off_w - cut_w // 2, 0, w - 1)
 
-    mask = jnp.ones((b, h, w), x.dtype)
-    bidx = jnp.arange(b)[:, None, None]
-    mask = mask.at[
-        jnp.broadcast_to(bidx, (b, cut_h, cut_w)),
-        jnp.broadcast_to(rows, (b, cut_h, cut_w)),
-        jnp.broadcast_to(cols, (b, cut_h, cut_w)),
-    ].set(0.0)
+    ih = jnp.arange(h)[None, :, None]                        # (1, h, 1)
+    iw = jnp.arange(w)[None, None, :]                        # (1, 1, w)
+    row_in = jnp.logical_and(ih >= lo_h, ih <= hi_h)         # (b, h, 1)
+    col_in = jnp.logical_and(iw >= lo_w, iw <= hi_w)         # (b, 1, w)
+    mask = 1.0 - jnp.logical_and(row_in, col_in).astype(x.dtype)  # (b, h, w)
     return x * mask[:, None, :, :]
 
 

@@ -154,3 +154,70 @@ class TestDiffAug:
     def test_empty_policy_identity(self, rng):
         x = jax.random.uniform(rng, (1, 3, 4, 4))
         np.testing.assert_allclose(np.asarray(DA.diff_augment(rng, x, policy="")), np.asarray(x))
+
+    # ---- equivalence of the matmul/range forms vs the original gather / ----
+    # ---- scatter formulations (same keys -> identical draws)            ----
+
+    @staticmethod
+    def _translation_gather(key, x, ratio=0.125):
+        """The pre-round-3 take_along_axis formulation (oracle)."""
+        b, c, h, w = x.shape
+        shift_h = int(h * ratio + 0.5)
+        shift_w = int(w * ratio + 0.5)
+        kh, kw = jax.random.split(key)
+        th = jax.random.randint(kh, (b, 1, 1), -shift_h, shift_h + 1)
+        tw = jax.random.randint(kw, (b, 1, 1), -shift_w, shift_w + 1)
+        x_pad = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)))
+        grid_h = jnp.clip(jnp.arange(h)[None, :, None] + th + 1, 0, h + 1)
+        grid_w = jnp.clip(jnp.arange(w)[None, None, :] + tw + 1, 0, w + 1)
+        out = jnp.take_along_axis(
+            x_pad, jnp.broadcast_to(grid_h[:, None, :, :], (b, c, h, 1)), axis=2)
+        out = jnp.take_along_axis(
+            out, jnp.broadcast_to(grid_w[:, None, :, :], (b, c, h, w)), axis=3)
+        return out
+
+    @staticmethod
+    def _cutout_scatter(key, x, ratio=0.2):
+        """The pre-round-3 scatter-mask formulation (oracle)."""
+        b, c, h, w = x.shape
+        cut_h = int(h * ratio + 0.5)
+        cut_w = int(w * ratio + 0.5)
+        kh, kw = jax.random.split(key)
+        off_h = jax.random.randint(kh, (b, 1, 1), 0, h + (1 - cut_h % 2))
+        off_w = jax.random.randint(kw, (b, 1, 1), 0, w + (1 - cut_w % 2))
+        rows = jnp.clip(jnp.arange(cut_h)[None, :, None] + off_h - cut_h // 2, 0, h - 1)
+        cols = jnp.clip(jnp.arange(cut_w)[None, None, :] + off_w - cut_w // 2, 0, w - 1)
+        mask = jnp.ones((b, h, w), x.dtype)
+        bidx = jnp.arange(b)[:, None, None]
+        mask = mask.at[
+            jnp.broadcast_to(bidx, (b, cut_h, cut_w)),
+            jnp.broadcast_to(rows, (b, cut_h, cut_w)),
+            jnp.broadcast_to(cols, (b, cut_h, cut_w)),
+        ].set(0.0)
+        return x * mask[:, None, :, :]
+
+    def test_translation_matches_gather_form(self, rng):
+        for i, (shape, ratio) in enumerate(
+            [((8, 3, 16, 16), 0.125), ((4, 3, 17, 17), 0.125), ((2, 1, 8, 8), 0.5)]
+        ):
+            key = jax.random.fold_in(rng, i)
+            kx, ka = jax.random.split(key)
+            x = jax.random.uniform(kx, shape) * 2 - 1
+            np.testing.assert_allclose(
+                np.asarray(DA.rand_translation(ka, x, ratio=ratio)),
+                np.asarray(self._translation_gather(ka, x, ratio=ratio)),
+                atol=1e-6,
+            )
+
+    def test_cutout_matches_scatter_form(self, rng):
+        for i, (shape, ratio) in enumerate(
+            [((8, 3, 16, 16), 0.2), ((4, 3, 17, 17), 0.3), ((2, 1, 8, 8), 0.5)]
+        ):
+            key = jax.random.fold_in(rng, i)
+            kx, ka = jax.random.split(key)
+            x = jax.random.uniform(kx, shape) + 0.5
+            np.testing.assert_allclose(
+                np.asarray(DA.rand_cutout(ka, x, ratio=ratio)),
+                np.asarray(self._cutout_scatter(ka, x, ratio=ratio)),
+                atol=1e-6,
+            )
