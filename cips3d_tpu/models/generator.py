@@ -196,6 +196,18 @@ class GeneratorNerfINR(nn.Module):
             origins = points_lib.gather_points(origins, idx_grad)
             dirs = points_lib.gather_points(dirs, idx_grad)
 
+        # 2-D (data x rays) training mesh: pin the pixel axis sharding here
+        # and XLA propagates it through the (pointwise-per-ray) SIREN /
+        # compositing / INR chain.  No-op outside a pixel_sharding_scope.
+        from cips3d_tpu.parallel import mesh as mesh_lib
+
+        if mesh_lib.pixel_scope_active():
+            pts = mesh_lib.constrain_pixels(pts)
+            dirs_exp = mesh_lib.constrain_pixels(dirs_exp)
+            z_vals = mesh_lib.constrain_pixels(z_vals)
+            origins = mesh_lib.constrain_pixels(origins)
+            dirs = mesh_lib.constrain_pixels(dirs)
+
         b, n, s, _ = pts.shape
         k_pdf, k_noise_coarse, k_noise_final = jax.random.split(key, 3)
 
@@ -270,6 +282,7 @@ class GeneratorNerfINR(nn.Module):
             pixels_fea = jax.lax.stop_gradient(pixels_fea)
 
         debug.trace("points_forward.pixels_fea", pixels_fea)
+        pixels_fea = mesh_lib.constrain_pixels(pixels_fea)
         # Training path runs all nine INR blocks regardless of img_size
         # (`generator.py:1754` passes no img_size).
         inr_img = self.inr_net(pixels_fea, style_dict)

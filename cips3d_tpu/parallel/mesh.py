@@ -15,6 +15,7 @@ Axes:
 
 from __future__ import annotations
 
+import contextlib
 import os
 from typing import Optional, Sequence
 
@@ -88,13 +89,109 @@ def shard_train_step(step_fn, mesh: Mesh):
     'data'.  XLA inserts the gradient all-reduce (the DDP allreduce analogue)
     over ICI."""
     rep = replicated(mesh)
-    data = batch_sharded(mesh)
+    data = NamedSharding(mesh, batch_spec(mesh))
     return jax.jit(
         step_fn,
         in_shardings=(rep, data, rep),
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )
+
+
+# --------------------------------------------------------------------------- #
+# 2-D (data x rays) training mesh
+#
+# Rays are pointwise-parallel through the whole generator (SIREN point MLP,
+# compositing, and the per-pixel CIPS INR decoder), so sharding the pixel axis
+# needs no collectives until the fake image meets the discriminator's spatial
+# convs.  There we reshard the image batch onto the JOINT (data, rays) axis —
+# one all-to-all inserted by XLA — and D runs pure data-parallel over all
+# devices.  Gradient psums ride the mesh automatically (params replicated).
+#
+# Plumbing: `pixel_sharding_scope` stashes the active mesh/axes in a module
+# global consulted by `constrain_pixels` (called inside
+# `GeneratorNerfINR.points_forward`) and `constrain_joint_batch` (called in
+# the train step around the D apply).  Both are identity when no scope is
+# active, so the 1-D path pays nothing.
+
+_PIXEL_SCOPE: Optional[dict] = None
+
+
+@contextlib.contextmanager
+def pixel_sharding_scope(mesh: Mesh, data_axis: str = "data", rays_axis: str = "rays"):
+    """Activate pixel-axis sharding for generator traces in this scope."""
+    global _PIXEL_SCOPE
+    prev = _PIXEL_SCOPE
+    _PIXEL_SCOPE = {"mesh": mesh, "data": data_axis, "rays": rays_axis}
+    try:
+        yield
+    finally:
+        _PIXEL_SCOPE = prev
+
+
+def pixel_scope_active() -> bool:
+    return _PIXEL_SCOPE is not None
+
+
+def constrain_pixels(x):
+    """Constrain a (b, n_pixels, ...) generator array to
+    P(data, rays, None, ...).  Identity outside a pixel_sharding_scope, and
+    identity for arrays whose leading dims don't divide the mesh (e.g. small
+    monitor-render batches traced while the scope is active)."""
+    if _PIXEL_SCOPE is None or x is None:
+        return x
+    s = _PIXEL_SCOPE
+    sizes = dict(zip(s["mesh"].axis_names, s["mesh"].devices.shape))
+    if (
+        x.ndim < 2
+        or x.shape[0] % sizes[s["data"]] != 0
+        or x.shape[1] % sizes[s["rays"]] != 0
+    ):
+        return x
+    spec = P(s["data"], s["rays"], *([None] * (x.ndim - 2)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(s["mesh"], spec))
+
+
+def constrain_joint_batch(x):
+    """Constrain an NCHW image batch to P((data, rays), None, ...) — the
+    discriminator's pure batch-parallel layout over the whole mesh.  Identity
+    outside a pixel_sharding_scope or when the batch doesn't divide the
+    mesh."""
+    if _PIXEL_SCOPE is None or x is None:
+        return x
+    s = _PIXEL_SCOPE
+    if x.shape[0] % s["mesh"].devices.size != 0:
+        return x
+    spec = P((s["data"], s["rays"]), *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(s["mesh"], spec))
+
+
+def batch_spec(mesh: Mesh) -> P:
+    """PartitionSpec for an image batch's dim 0: the joint (data, rays) axis
+    on a 2-D mesh (D is batch-parallel over every device), plain 'data'
+    otherwise."""
+    if "rays" in mesh.axis_names:
+        return P(("data", "rays"))
+    return P("data")
+
+
+def shard_train_step_2d(step_fn, mesh: Mesh):
+    """jit the train step over a 2-D (data, rays) mesh: params replicated,
+    the real-image batch sharded over the JOINT (data, rays) axis (D is
+    batch-parallel over every device; G's pixel axis is sharded via the
+    `constrain_pixels` annotations inside points_forward).  `batch_spec`
+    makes `shard_train_step` mesh-aware, so this is the same function —
+    kept as the explicit 2-D entry point."""
+    return shard_train_step(step_fn, mesh)
+
+
+def shard_joint_batch(batch, mesh: Mesh):
+    """Device-put a host batch with dim 0 sharded over the joint
+    (data, rays) axis."""
+    sharding = NamedSharding(mesh, P(("data", "rays")))
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, batch)
+    return jax.device_put(batch, sharding)
 
 
 def host_barrier(name: str, timeout_s: float = 600.0) -> bool:
@@ -126,7 +223,7 @@ def shard_chunk_train_step(chunk_fn, mesh: Mesh):
     `lax.scan` — through a remote-device tunnel, per-step dispatch costs
     ~0.3 s/step of host round-trips that a scanned chunk amortizes."""
     rep = replicated(mesh)
-    data = NamedSharding(mesh, P(None, "data"))
+    data = NamedSharding(mesh, P(None, *batch_spec(mesh)))
     return jax.jit(
         chunk_fn,
         in_shardings=(rep, data, rep),
@@ -137,8 +234,8 @@ def shard_chunk_train_step(chunk_fn, mesh: Mesh):
 
 def shard_chunk_batch(batch, mesh: Mesh):
     """Device-put a stacked (K, local_B, ...) chunk of batches with dim 1
-    (batch) sharded over 'data'."""
-    sharding = NamedSharding(mesh, P(None, "data"))
+    (batch) sharded over 'data' (joint (data, rays) on a 2-D mesh)."""
+    sharding = NamedSharding(mesh, P(None, *batch_spec(mesh)))
     if jax.process_count() > 1:
         return jax.make_array_from_process_local_data(sharding, batch)
     return jax.device_put(batch, sharding)
@@ -151,7 +248,7 @@ def shard_batch(batch, mesh: Mesh):
     process-sharded); the global array is assembled from per-process data —
     the per-host data-sharding analogue of the reference's
     DistributedSampler (`train.py:301-304`)."""
-    sharding = batch_sharded(mesh)
+    sharding = NamedSharding(mesh, batch_spec(mesh))
     if jax.process_count() > 1:
         return jax.make_array_from_process_local_data(sharding, batch)
     return jax.device_put(batch, sharding)

@@ -20,6 +20,7 @@ sharded over 'data', params replicated (the DDP analogue).
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import functools
 import math
@@ -44,6 +45,7 @@ from cips3d_tpu.models.generator import (
 )
 from cips3d_tpu.parallel.mesh import (
     make_mesh,
+    pixel_sharding_scope,
     replicated,
     shard_batch,
     shard_chunk_batch,
@@ -87,6 +89,14 @@ class LoopConfig:
     # 588 vs 286 ms/step at r256).  Chunking engages only when the per-step
     # (aux_reg, d_regularize) schedule is constant; 1 disables it.
     dispatch_chunk: int = 10
+    # 2-D (data x rays) training mesh: shard the generator's pixel axis over
+    # `ray_shards` devices (SURVEY §2.6 ray-parallel row; needed for r512
+    # where one image's sample tensor overflows a single chip's HBM — see
+    # docs/r512_memory_budget.md).  Devices split as
+    # (n_devices // ray_shards) data x ray_shards rays; the discriminator
+    # stays batch-parallel over all devices (one all-to-all reshard of the
+    # fake batch).  1 disables (plain 1-D data-parallel mesh).
+    ray_shards: int = 1
 
 
 @functools.lru_cache(maxsize=4)
@@ -171,7 +181,20 @@ def train(
 
     key = jax.random.PRNGKey(loop_cfg.seed)
     key, k_init, k_fixed = jax.random.split(key, 3)
-    mesh = make_mesh(n_devices)
+    ray_shards = max(1, int(loop_cfg.ray_shards))
+    if ray_shards > 1:
+        total_dev = n_devices or len(jax.devices())
+        if total_dev % ray_shards:
+            raise ValueError(
+                f"ray_shards={ray_shards} must divide device count {total_dev}"
+            )
+        mesh = make_mesh(
+            total_dev,
+            axis_names=("data", "rays"),
+            shape=(total_dev // ray_shards, ray_shards),
+        )
+    else:
+        mesh = make_mesh(n_devices)
     state = init_train_state(
         k_init, generator, discriminator, train_cfg, opts, sharding=replicated(mesh)
     )
@@ -213,7 +236,14 @@ def train(
     # data: the loader yields this PROCESS's shard of the global batch
     # (DistributedSampler semantics, `train.py:301-304`)
     n_dev = mesh.devices.size
-    global_batch = train_cfg.batch_size * n_dev
+    # 2-D mesh: G's image batch is data-parallel only (pixels ride 'rays'),
+    # so the global batch scales with the data axis, not the device count.
+    global_batch = train_cfg.batch_size * (n_dev // ray_shards)
+    if global_batch % n_dev:
+        raise ValueError(
+            f"batch_size={train_cfg.batch_size} must be divisible by "
+            f"ray_shards={ray_shards} (D shards the batch over all devices)"
+        )
     local_batch = global_batch // jax.process_count()
     dataset = ZipImageDataset(
         loop_cfg.data_path,
@@ -244,7 +274,12 @@ def train(
             step_fns[k] = shard_train_step(fn, mesh)
         return step_fns[k]
 
-    with mesh:
+    with contextlib.ExitStack() as _scope:
+        _scope.enter_context(mesh)
+        if ray_shards > 1:
+            # activates the constrain_pixels/constrain_joint_batch
+            # annotations inside every generator/step trace below
+            _scope.enter_context(pixel_sharding_scope(mesh))
         if resume or finetune_dir or load_nerf_ema:
             # loaded host arrays (numpy, identical on every process) re-enter
             # the replicated layout through jit
@@ -304,12 +339,13 @@ def train(
         # window.  Compilation itself runs no collectives, so it is safe
         # before the barrier.
         if jax.process_count() > 1:
+            from cips3d_tpu.parallel.mesh import batch_spec
+
             img = train_cfg.img_size
+            bspec = batch_spec(mesh)
             rb = jax.ShapeDtypeStruct(
                 (global_batch, 3, img, img), jnp.uint8,
-                sharding=jax.sharding.NamedSharding(
-                    mesh, jax.sharding.PartitionSpec("data")
-                ),
+                sharding=jax.sharding.NamedSharding(mesh, bspec),
             )
             aux0 = train_cfg.train_aux_img and (start % train_cfg.update_aux_every == 0)
             dreg0 = (start % train_cfg.d_reg_every) == 0
@@ -318,7 +354,7 @@ def train(
                 rbk = jax.ShapeDtypeStruct(
                     (chunk_k,) + rb.shape, jnp.uint8,
                     sharding=jax.sharding.NamedSharding(
-                        mesh, jax.sharding.PartitionSpec(None, "data")
+                        mesh, jax.sharding.PartitionSpec(None, *bspec)
                     ),
                 )
                 get_chunk_fn(chunk_k).lower(state, rbk, key).compile()

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from cips3d_tpu.core.ema import ema_update
 from cips3d_tpu.models.generator import GeneratorNerfINR, RenderOptions, sample_zs
+from cips3d_tpu.parallel import mesh as mesh_lib
 from cips3d_tpu.train import losses
 from cips3d_tpu.train.schedules import alpha_schedule, nerf_noise_schedule
 from cips3d_tpu.train.state import TrainConfig, TrainState, clip_and_guard, make_optimizers
@@ -112,6 +113,11 @@ def make_train_step(
         fake_imgs = jax.lax.stop_gradient(fake_imgs)
         if aux_reg:
             real_imgs = jnp.concatenate([real_imgs, real_imgs], axis=0)
+        # 2-D mesh: D is batch-parallel over the JOINT (data, rays) axis —
+        # the constraint (no-op on the 1-D path) makes XLA reshard G's
+        # ray-sharded fakes with one all-to-all before the spatial convs.
+        fake_imgs = mesh_lib.constrain_joint_batch(fake_imgs)
+        real_imgs = mesh_lib.constrain_joint_batch(real_imgs)
 
         def d_apply(x, k):
             return discriminator.apply(
@@ -153,7 +159,7 @@ def make_train_step(
         )
         fake_logits = discriminator.apply(
             d_params,
-            fake_imgs.astype(jnp.float32),
+            mesh_lib.constrain_joint_batch(fake_imgs.astype(jnp.float32)),
             alpha,
             use_aux_disc=aux_reg,
             diffaug_key=k_da,

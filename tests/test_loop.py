@@ -131,6 +131,31 @@ def test_chunked_dispatch(data_zip, tmp_path):
     assert steps == [1, 2, 3, 4]  # per-step logs survive chunking
 
 
+def test_ray_shards_loop(data_zip, tmp_path):
+    """LoopConfig.ray_shards=2 on 4 devices: the full host loop (train steps,
+    chunked dispatch, eval, checkpoints) runs on the 2-D (data=2, rays=2)
+    mesh — the r512 recipe's layout (configs/ffhq.yaml train_r512)."""
+    outdir = str(tmp_path / "run_rays")
+    tcfg = TrainConfig(
+        img_size=8, batch_size=2, grad_points=None, total_iters=4, ema_start_itr=1
+    )
+    opts = RenderOptions(img_size=8, num_steps=3)
+    lcfg = LoopConfig(
+        outdir=outdir, data_path=data_zip, log_every=1, eval_every=4,
+        num_images_real_eval=4, num_images_gen_eval=4, eval_batch_size=2,
+        fixed_z_bs=2, num_workers=1, dispatch_chunk=2, ray_shards=2,
+    )
+    state = train(GCFG, tcfg, opts, lcfg,
+                  disc_kwargs={"max_size": 16, "channels_override": TINY},
+                  n_devices=4)
+    assert int(state.step) == 4
+    assert os.path.isdir(os.path.join(outdir, "ckptdir", "resume"))
+    log = os.path.join(outdir, "textdir", "train.d_loss.d_loss.log")
+    with open(log) as f:
+        steps = [int(line.split(":")[0]) for line in f if line.strip()]
+    assert steps == [1, 2, 3, 4]
+
+
 def test_lazy_r1_schedule(tmp_path):
     """d_reg_every=2: R1 only on even steps (`train.py:387` lazy reg)."""
     from cips3d_tpu.data.zip_dataset import write_stylegan_zip

@@ -114,6 +114,50 @@ class TestShardedTrainStep:
         leaf = jax.tree_util.tree_leaves(new_state.g_params)[0]
         assert len({s.device.id for s in leaf.addressable_shards}) == 4
 
+    def test_2d_mesh_step_matches_1d(self, setup):
+        """(data=2, rays=4) mesh with the pixel axis sharded inside
+        points_forward (incl. the grad_points gather) must reproduce the
+        1-device step — rays are pointwise-parallel, so partitioning is
+        layout-only.  Aux on exercises the fake-batch doubling + joint
+        (data, rays) reshard in front of D."""
+        from cips3d_tpu.parallel.mesh import (
+            pixel_sharding_scope,
+            shard_joint_batch,
+            shard_train_step_2d,
+        )
+
+        gen, disc, _, _ = setup
+        cfg = TrainConfig(img_size=8, batch_size=8, grad_points=4)  # 16 of 64 px
+        key = jax.random.PRNGKey(0)
+        state = init_train_state(key, gen, disc, cfg, OPTS)
+        batch = jax.random.uniform(jax.random.PRNGKey(1), (8, 3, 8, 8)) * 2 - 1
+        step_key = jax.random.PRNGKey(2)
+
+        step_fn = make_train_step(gen, disc, cfg, OPTS, aux_reg=True)
+
+        mesh1 = make_mesh(1)
+        with mesh1:
+            s1 = jax.device_put(state, replicated(mesh1))
+            ref_state, ref_metrics = jax.jit(step_fn, donate_argnums=(0,))(
+                s1, batch, step_key
+            )
+        ref_metrics = {k: float(v) for k, v in ref_metrics.items()}
+
+        mesh = make_mesh(8, axis_names=("data", "rays"), shape=(2, 4))
+        state2 = init_train_state(key, gen, disc, cfg, OPTS)
+        with pixel_sharding_scope(mesh):
+            step = shard_train_step_2d(step_fn, mesh)
+            with mesh:
+                s2 = jax.device_put(state2, replicated(mesh))
+                b = shard_joint_batch(np.asarray(batch), mesh)
+                new_state, metrics = step(s2, b, step_key)
+        for k, v in ref_metrics.items():
+            np.testing.assert_allclose(float(metrics[k]), v, rtol=2e-3, atol=2e-4,
+                                       err_msg=f"metric {k}")
+        ref_leaf = np.asarray(jax.tree_util.tree_leaves(ref_state.g_params)[0])
+        new_leaf = np.asarray(jax.tree_util.tree_leaves(new_state.g_params)[0])
+        np.testing.assert_allclose(new_leaf, ref_leaf, rtol=1e-3, atol=1e-4)
+
     def test_graft_dryrun(self):
         import sys
 
