@@ -66,6 +66,11 @@ class GeneratorConfig:
     # Polynomial sine in the SIREN (ops/fast_sin.py): ~1.7e-5 max abs error,
     # an inference-only speed knob for the sin-bound point MLP.
     fast_sin: bool = False
+    # Fused ray-tile renderer (ops/pallas/ray_tile.py): the whole NeRF stage
+    # — coarse SIREN → resample → fine SIREN → compositing — in one Pallas
+    # kernel over VMEM-resident ray tiles (SURVEY §7.7).  Forward-only:
+    # enable for inference/rendering; training autodiff pends the custom VJP.
+    fused_ray: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -209,6 +214,34 @@ class GeneratorNerfINR(nn.Module):
             dirs = mesh_lib.constrain_pixels(dirs)
 
         b, n, s, _ = pts.shape
+
+        from cips3d_tpu.utils import debug
+
+        if (
+            self.cfg.fused_ray
+            and opts.hierarchical_sample
+            and self.cfg.nerf_hidden_layers == 2
+            and not self.is_initializing()
+        ):
+            # One Pallas kernel for the whole NeRF stage (ops/pallas/ray_tile
+            # .py): identical key-split and draw shapes as the XLA path below,
+            # so the two paths agree on the same key.
+            from cips3d_tpu.ops.pallas.ray_tile import fused_ray_render
+
+            pixels_fea, pixels_depth = fused_ray_render(
+                self.siren.variables["params"], style_dict,
+                pts, origins, dirs, z_vals, key,
+                noise_std=opts.nerf_noise, clamp_mode=opts.clamp_mode,
+                white_back=opts.white_back, last_back=opts.last_back,
+                dtype=self.dtype, fast_sin=self.cfg.fast_sin,
+            )
+            if self.cfg.freeze_nerf:
+                pixels_fea = jax.lax.stop_gradient(pixels_fea)
+                pixels_depth = jax.lax.stop_gradient(pixels_depth)
+            return self._decode_pixels(
+                pixels_fea, pixels_depth, style_dict, return_aux_img, return_depth
+            )
+
         k_pdf, k_noise_coarse, k_noise_final = jax.random.split(key, 3)
 
         def siren_eval(p_flat):
@@ -280,6 +313,17 @@ class GeneratorNerfINR(nn.Module):
         )
         if self.cfg.freeze_nerf:
             pixels_fea = jax.lax.stop_gradient(pixels_fea)
+        return self._decode_pixels(
+            pixels_fea, pixels_depth, style_dict, return_aux_img, return_depth
+        )
+
+    def _decode_pixels(
+        self, pixels_fea, pixels_depth, style_dict, return_aux_img, return_depth
+    ):
+        """INR decode + aux head on composited ray features — the tail of
+        `points_forward` shared by the XLA and fused-ray paths."""
+        from cips3d_tpu.parallel import mesh as mesh_lib
+        from cips3d_tpu.utils import debug
 
         debug.trace("points_forward.pixels_fea", pixels_fea)
         pixels_fea = mesh_lib.constrain_pixels(pixels_fea)

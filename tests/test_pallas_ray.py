@@ -1,0 +1,167 @@
+"""Parity tests for the fused ray-tile renderer (ops/pallas/ray_tile.py).
+
+The kernel must reproduce the XLA NeRF stage of
+`GeneratorNerfINR.points_forward` — coarse SIREN → resample weights →
+inverse-CDF sample → fine SIREN → sort-free compositing — on the SAME key
+(the wrapper mirrors the XLA path's key splits and draw shapes/dtypes).
+Runs in Pallas interpret mode on the CPU simulation.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cips3d_tpu.core import volume as volume_lib
+from cips3d_tpu.models.nerf_net import NeRFNetwork
+from cips3d_tpu.ops.pallas.ray_tile import fused_ray_render
+
+B, N, S, H, R = 2, 64, 12, 32, 16
+STYLE = H
+
+
+@pytest.fixture(scope="module")
+def setup():
+    key = jax.random.PRNGKey(0)
+    siren = NeRFNetwork(hidden_dim=H, hidden_layers=2, rgb_dim=R, dtype=jnp.float32)
+    styles = {
+        "nerf_w0": jax.random.normal(jax.random.PRNGKey(1), (B, STYLE)),
+        "nerf_w1": jax.random.normal(jax.random.PRNGKey(2), (B, STYLE)),
+        "nerf_rgb": jax.random.normal(jax.random.PRNGKey(3), (B, STYLE)),
+    }
+    params = siren.init(key, jnp.zeros((B, 8, 3)), styles)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+    origins = jax.random.normal(k1, (B, N, 3)) * 0.05
+    dirs_raw = jax.random.normal(k2, (B, N, 3)) + jnp.array([0.0, 0.0, -1.0])
+    dirs = dirs_raw / jnp.linalg.norm(dirs_raw, axis=-1, keepdims=True)
+    base = jnp.linspace(0.88, 1.12, S)
+    jitter = jax.random.uniform(k3, (B, N, S)) * (0.24 / S)
+    z_vals = jnp.sort(base[None, None, :] + jitter, axis=-1)[..., None]
+    pts = origins[:, :, None, :] + dirs[:, :, None, :] * z_vals
+    return siren, params, styles, pts, origins, dirs, z_vals
+
+
+def xla_reference(siren, params, styles, pts, origins, dirs, z_vals, key,
+                  noise_std=0.0, clamp_mode="relu", white_back=False,
+                  last_back=False):
+    """The exact XLA composition from `points_forward` (generator.py)."""
+    b, n, s, _ = pts.shape
+    k_pdf, k_nc, k_nf = jax.random.split(key, 3)
+    rgb_c, sig_c = siren.apply(params, pts.reshape(b, n * s, 3), styles, split=True)
+    rgb_c = rgb_c.reshape(b, n, s, -1)
+    sig_c = sig_c.reshape(b, n, s, 1)
+    fine_pts, fine_z = volume_lib.get_fine_points_from_sigma(
+        k_pdf, sig_c, z_vals, clamp_mode=clamp_mode, noise_std=noise_std,
+        num_steps=s, ray_origins=origins, ray_directions=dirs, noise_key=k_nc,
+    )
+    rgb_f, sig_f = siren.apply(params, fine_pts.reshape(b, n * s, 3), styles, split=True)
+    all_rgb = jnp.concatenate([rgb_f.reshape(b, n, s, -1), rgb_c], axis=-2)
+    all_sig = jnp.concatenate([sig_f.reshape(b, n, s, 1), sig_c], axis=-2)
+    all_z = jnp.concatenate([fine_z, z_vals], axis=-2)
+    fea, depth, _ = volume_lib.volume_render_unsorted(
+        all_rgb, all_sig, all_z, noise_key=k_nf, noise_std=noise_std,
+        white_back=white_back, last_back=last_back, clamp_mode=clamp_mode,
+    )
+    return fea, depth
+
+
+@pytest.mark.parametrize("tile", [32, 64])
+def test_forward_parity_f32(setup, tile):
+    siren, params, styles, pts, origins, dirs, z_vals = setup
+    key = jax.random.PRNGKey(11)
+    ref_fea, ref_dep = xla_reference(siren, params, styles, pts, origins, dirs, z_vals, key)
+    fea, dep = fused_ray_render(
+        params["params"], styles, pts, origins, dirs, z_vals, key, tile=tile,
+    )
+    np.testing.assert_allclose(np.asarray(fea), np.asarray(ref_fea), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dep), np.asarray(ref_dep), rtol=2e-4, atol=2e-5)
+
+
+def test_forward_parity_padded_tile(setup):
+    """n=64 with tile=48: the ray axis pads to 96 and slices back."""
+    siren, params, styles, pts, origins, dirs, z_vals = setup
+    key = jax.random.PRNGKey(12)
+    ref_fea, ref_dep = xla_reference(siren, params, styles, pts, origins, dirs, z_vals, key)
+    fea, dep = fused_ray_render(
+        params["params"], styles, pts, origins, dirs, z_vals, key, tile=48,
+    )
+    np.testing.assert_allclose(np.asarray(fea), np.asarray(ref_fea), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dep), np.asarray(ref_dep), rtol=2e-4, atol=2e-5)
+
+
+def test_forward_parity_noise(setup):
+    """Traced noise_std (the training schedule): draws must line up."""
+    siren, params, styles, pts, origins, dirs, z_vals = setup
+    key = jax.random.PRNGKey(13)
+    ns = jnp.asarray(0.4, jnp.float32)  # traced scalar, like the schedule
+    ref_fea, ref_dep = xla_reference(
+        siren, params, styles, pts, origins, dirs, z_vals, key, noise_std=ns
+    )
+    fea, dep = fused_ray_render(
+        params["params"], styles, pts, origins, dirs, z_vals, key,
+        noise_std=ns, tile=32,
+    )
+    np.testing.assert_allclose(np.asarray(fea), np.asarray(ref_fea), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dep), np.asarray(ref_dep), rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [dict(white_back=True), dict(last_back=True), dict(clamp_mode="softplus")],
+    ids=["white_back", "last_back", "softplus"],
+)
+def test_forward_parity_variants(setup, kwargs):
+    siren, params, styles, pts, origins, dirs, z_vals = setup
+    key = jax.random.PRNGKey(14)
+    ref_fea, ref_dep = xla_reference(
+        siren, params, styles, pts, origins, dirs, z_vals, key, **kwargs
+    )
+    fea, dep = fused_ray_render(
+        params["params"], styles, pts, origins, dirs, z_vals, key, tile=32, **kwargs
+    )
+    np.testing.assert_allclose(np.asarray(fea), np.asarray(ref_fea), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dep), np.asarray(ref_dep), rtol=2e-4, atol=2e-5)
+
+
+def test_fast_sin_mode(setup):
+    """fast_sin kernel vs fast_sin XLA path (same polynomial both sides)."""
+    key = jax.random.PRNGKey(15)
+    siren_fs = NeRFNetwork(hidden_dim=H, hidden_layers=2, rgb_dim=R,
+                           fast_sin=True, dtype=jnp.float32)
+    _, params, styles, pts, origins, dirs, z_vals = setup
+    ref_fea, ref_dep = xla_reference(
+        siren_fs, params, styles, pts, origins, dirs, z_vals, key
+    )
+    fea, dep = fused_ray_render(
+        params["params"], styles, pts, origins, dirs, z_vals, key,
+        tile=32, fast_sin=True,
+    )
+    np.testing.assert_allclose(np.asarray(fea), np.asarray(ref_fea), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dep), np.asarray(ref_dep), rtol=2e-4, atol=2e-5)
+
+
+def test_generator_level_parity():
+    """GeneratorNerfINR(fused_ray=True) == (False) on the same key (f32)."""
+    from cips3d_tpu.models.generator import (
+        GeneratorConfig, GeneratorNerfINR, RenderOptions, sample_zs,
+    )
+
+    kwargs = dict(
+        z_dim_nerf=16, z_dim_inr=32, nerf_hidden_dim=H, nerf_style_dim=H,
+        nerf_rgb_dim=R, nerf_mapping_layers=2, inr_hidden_dim=32,
+        inr_style_dim=32, inr_mapping_layers=2,
+    )
+    opts = RenderOptions(img_size=8, num_steps=6)
+    key = jax.random.PRNGKey(0)
+    zs = sample_zs(key, 2, GeneratorConfig(**kwargs))
+
+    imgs = {}
+    for fused in (False, True):
+        gen = GeneratorNerfINR(cfg=GeneratorConfig(fused_ray=fused, **kwargs))
+        params = gen.init(jax.random.PRNGKey(1), zs, jax.random.PRNGKey(2), opts)
+        img, aux = gen.apply(params, zs, jax.random.PRNGKey(3), opts)
+        imgs[fused] = (np.asarray(img), np.asarray(aux))
+    np.testing.assert_allclose(imgs[True][0], imgs[False][0], rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(imgs[True][1], imgs[False][1], rtol=5e-4, atol=5e-5)
