@@ -33,7 +33,12 @@ def main():
     # training configuration: a 4k-step synthetic campaign reproduces the
     # exact-sin FID trend (docs/campaign_r32/POSTMORTEM.md).  BENCH_FAST_SIN=0
     # for exact-sin numbers.
-    gcfg = GeneratorConfig(fast_sin=os.environ.get("BENCH_FAST_SIN", "1") == "1")
+    gcfg = GeneratorConfig(
+        fast_sin=os.environ.get("BENCH_FAST_SIN", "1") == "1",
+        # Fused ray-tile Pallas kernel (custom VJP) for the NeRF stage;
+        # BENCH_FUSED=0 for the XLA path.
+        fused_ray=os.environ.get("BENCH_FUSED", "1") == "1",
+    )
     opts = RenderOptions(img_size=img_size, num_steps=12)
     tcfg = TrainConfig(img_size=img_size, batch_size=batch)
 

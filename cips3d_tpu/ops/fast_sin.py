@@ -42,3 +42,25 @@ def fast_sin(x: jnp.ndarray) -> jnp.ndarray:
     p = p * r2 + jnp.asarray(_C3, x.dtype)
     p = p * r2 + jnp.asarray(_C1, x.dtype)
     return r * p
+
+
+def fast_sin_grad(x: jnp.ndarray) -> jnp.ndarray:
+    """d fast_sin / dx — the derivative of the polynomial itself (what
+    jax.grad produces for `fast_sin`, NOT cos): with r = frac-reduced
+    argument, fast_sin = r·p(r²), so
+    d/dx = (1/2π)·(p(r²) + 2r²·p'(r²)).  Used by the fused ray-tile
+    kernel's hand-written backward (ops/pallas/ray_tile.py) so its grads
+    match autodiff of the fast_sin XLA path."""
+    y = x * jnp.asarray(_INV_2PI, x.dtype)
+    r = y - jnp.round(y)
+    r2 = r * r
+    p = jnp.asarray(_C9, x.dtype)
+    p = p * r2 + jnp.asarray(_C7, x.dtype)
+    p = p * r2 + jnp.asarray(_C5, x.dtype)
+    p = p * r2 + jnp.asarray(_C3, x.dtype)
+    p = p * r2 + jnp.asarray(_C1, x.dtype)
+    dp = 4.0 * jnp.asarray(_C9, x.dtype)
+    dp = dp * r2 + 3.0 * jnp.asarray(_C7, x.dtype)
+    dp = dp * r2 + 2.0 * jnp.asarray(_C5, x.dtype)
+    dp = dp * r2 + jnp.asarray(_C3, x.dtype)
+    return jnp.asarray(_INV_2PI, x.dtype) * (p + 2.0 * r2 * dp)

@@ -102,19 +102,23 @@ def _ray_tile_kernel(
     f32 = jnp.float32
     T = z_ref.shape[2]
     noise_std = ns_ref[0, 0]
+    # Film refs hold the full (b, dim) array (a (1, dim) block would violate
+    # the 8-sublane block constraint for b > 1); take this batch row here.
+    bi = pl.program_id(0)
+    film = lambda ref: ref[pl.ds(bi, 1), :]             # (1, dim)
 
     def mlp(p_flat):
         """FiLM-SIREN point MLP (film_layer.py:78-107): (N, 3) ->
         rgb (N, R) f32, sigma (N, 8) f32 (lane-padded, col 0 live)."""
         x = (p_flat * warp_scale).astype(mm_dtype)  # UniformBoxWarp
         a0 = jnp.dot(x, w0_ref[:], preferred_element_type=f32) + b0_ref[0]
-        h0 = _sin(g0_ref[0] * a0 + f0_ref[0])
+        h0 = _sin(film(g0_ref) * a0 + film(f0_ref))
         a1 = jnp.dot(h0.astype(mm_dtype), w1_ref[:], preferred_element_type=f32) + b1_ref[0]
-        h1 = _sin(g1_ref[0] * a1 + f1_ref[0])
+        h1 = _sin(film(g1_ref) * a1 + film(f1_ref))
         h1m = h1.astype(mm_dtype)
         sig = jnp.dot(h1m, ws_ref[:], preferred_element_type=f32) + bs_ref[0]
         ac = jnp.dot(h1m, wc_ref[:], preferred_element_type=f32) + bc_ref[0]
-        hc = _sin(gc_ref[0] * ac + fc_ref[0])
+        hc = _sin(film(gc_ref) * ac + film(fc_ref))
         rgb = jnp.dot(hc.astype(mm_dtype), wr_ref[:], preferred_element_type=f32) + br_ref[0]
         return rgb, sig
 
@@ -211,6 +215,503 @@ def _ray_tile_kernel(
     dep_ref[0] = jnp.broadcast_to(depth, (8, T))
 
 
+def _jnp_core(
+    wt, pts, org, dirs, z, u, nc, nf, ns,
+    *, clamp_mode, white_back, last_back, use_noise, fast_sin, mm_dtype,
+    warp_scale, out_dtype,
+):
+    """Pure-jnp mirror of the kernel math on full (b, n, ...) arrays — the
+    numerical reference for the Pallas forward AND the backward: the custom
+    VJP differentiates this with `jax.vjp`, which reproduces the XLA path's
+    gradient semantics (stop-gradient through the hierarchical resample,
+    `get_fine_points_from_sigma`'s torch.no_grad/.detach counterpart).
+
+    wt: (w0, b0, g0, f0, w1, b1, g1, f1, wc, bc, gc, fc, wr, br, ws, bs) —
+    weights f32 as stored, films (b, dim) f32, ws lane-padded (H, 8).
+    Tensors: pts (b,n,S,3), org/dirs (b,n,3), z/u/nc (b,n,S), nf (b,n,2S),
+    ns (1,1) — all f32.
+    """
+    w0, b0, g0, f0, w1, b1, g1, f1, wc, bc, gc, fc, wr, br, ws, bs = wt
+    if fast_sin:
+        from cips3d_tpu.ops.fast_sin import fast_sin as _sin
+    else:
+        _sin = jnp.sin
+    f32 = jnp.float32
+    b, n, S, _ = pts.shape
+    mm = lambda a: a.astype(mm_dtype)
+    dot = functools.partial(jnp.einsum, preferred_element_type=f32)
+
+    def mlp(p):  # (b, N, 3) -> rgb (b, N, R) f32, sigma (b, N) f32
+        x = mm(p * warp_scale)
+        a0 = dot("bnk,kh->bnh", x, mm(w0)) + b0[0]
+        h0 = _sin(g0[:, None] * a0 + f0[:, None])
+        a1 = dot("bnk,kh->bnh", mm(h0), mm(w1)) + b1[0]
+        h1 = _sin(g1[:, None] * a1 + f1[:, None])
+        sig = dot("bnk,kh->bnh", mm(h1), mm(ws)) + bs[0]
+        ac = dot("bnk,kh->bnh", mm(h1), mm(wc)) + bc[0]
+        hc = _sin(gc[:, None] * ac + fc[:, None])
+        rgb = dot("bnk,kh->bnh", mm(hc), mm(wr)) + br[0]
+        return rgb, sig[..., 0]
+
+    noise_std = ns[0, 0]
+    rgb_c, sig_c = mlp(pts.reshape(b, n * S, 3))
+    rgb_c = rgb_c.reshape(b, n, S, -1)
+    sig_c = sig_c.reshape(b, n, S)
+
+    def resample():
+        deltas = jnp.concatenate(
+            [z[..., 1:] - z[..., :-1], jnp.full_like(z[..., :1], 1e10)], -1
+        )
+        sc = sig_c + nc * noise_std if use_noise else sig_c
+        alpha = 1.0 - jnp.exp(-deltas * _clamp(sc, clamp_mode))
+        logx = jnp.log(jnp.maximum(1.0 - alpha, 1e-10))
+        excl = jnp.triu(jnp.ones((S, S), f32), k=1)
+        w_c = alpha * jnp.exp(dot("bns,st->bnt", logx, excl))
+        inner = (w_c + 1e-5)[..., 1:-1] + 1e-5
+        pdf = inner / jnp.sum(inner, axis=-1, keepdims=True)
+        nb = S - 2
+        cmask = (jnp.arange(nb)[:, None] < jnp.arange(nb + 1)[None, :]).astype(f32)
+        cdf = dot("bns,st->bnt", pdf, cmask)                  # (b, n, S-1)
+        z_mid = 0.5 * (z[..., :-1] + z[..., 1:])
+        inds = jnp.sum((cdf[..., None, :] < u[..., :, None]).astype(f32), -1)
+        below = jnp.maximum(inds - 1.0, 0.0)
+        above = jnp.minimum(inds, float(nb))
+        bins_i = jnp.arange(nb + 1, dtype=f32)
+        sel_b = (below[..., None] == bins_i).astype(f32)      # (b, n, S, S-1)
+        sel_a = (above[..., None] == bins_i).astype(f32)
+        cdf_b = jnp.sum(sel_b * cdf[..., None, :], -1)
+        cdf_a = jnp.sum(sel_a * cdf[..., None, :], -1)
+        zm_b = jnp.sum(sel_b * z_mid[..., None, :], -1)
+        zm_a = jnp.sum(sel_a * z_mid[..., None, :], -1)
+        denom = cdf_a - cdf_b
+        denom = jnp.where(denom < 1e-5, 1.0, denom)
+        return zm_b + (u - cdf_b) / denom * (zm_a - zm_b)     # (b, n, S)
+
+    # the reference resamples under torch.no_grad and detaches
+    # (generator_nerf_inr.py:538-598)
+    fine_z = jax.lax.stop_gradient(resample())
+    fine_pts = jax.lax.stop_gradient(
+        org[:, :, None] + dirs[:, :, None] * fine_z[..., None]
+    )
+    rgb_f, sig_f = mlp(fine_pts.reshape(b, n * S, 3))
+
+    m = 2 * S
+    z_all = jnp.concatenate([fine_z, z], -1)                  # (b, n, m)
+    sig_all = jnp.concatenate([sig_f.reshape(b, n, S), sig_c], -1)
+    rgb_all = jnp.concatenate([rgb_f.reshape(b, n, S, -1), rgb_c], -2)
+    less = z_all[..., None, :] < z_all[..., :, None]
+    equal = z_all[..., None, :] == z_all[..., :, None]
+    tie = (jnp.arange(m)[None, :] < jnp.arange(m)[:, None])
+    before = jnp.logical_or(less, jnp.logical_and(equal, tie)).astype(f32)
+    rank = jnp.sum(before, -1)
+    if use_noise:
+        sig_all = sig_all + nf * noise_std
+    dens = _clamp(sig_all, clamp_mode)
+    succ = (rank[..., :, None] + 1.0 == rank[..., None, :]).astype(f32)
+    z_next = jnp.sum(succ * z_all[..., None, :], -1)
+    is_last = rank == float(m - 1)
+    deltas_m = jnp.where(is_last, 1e10, z_next - z_all)
+    alpha = 1.0 - jnp.exp(-deltas_m * dens)
+    logx = jnp.log(jnp.maximum(1.0 - alpha, 1e-10))
+    trans = jnp.exp(jnp.sum(before * logx[..., None, :], -1))
+    w = alpha * trans
+    w_sum = jnp.sum(w, -1, keepdims=True)
+    if last_back:
+        w = w + (1.0 - w_sum) * is_last.astype(f32)
+    fea = jnp.sum(w[..., None] * rgb_all, -2)                 # (b, n, R)
+    depth = jnp.sum(w * z_all, -1, keepdims=True)
+    if white_back:
+        fea = fea + 1.0 - w_sum
+    return fea.astype(out_dtype), depth
+
+
+def _ray_tile_bwd_kernel(
+    # forward inputs (same layouts as _ray_tile_kernel)
+    pts_ref, org_ref, dir_ref, z_ref, u_ref, nc_ref, nf_ref, ns_ref,
+    w0_ref, b0_ref, g0_ref, f0_ref,
+    w1_ref, b1_ref, g1_ref, f1_ref,
+    wc_ref, bc_ref, gc_ref, fc_ref,
+    wr_ref, br_ref, ws_ref, bs_ref,
+    # cotangents
+    dfea_ref,   # (1, T, R)  out dtype
+    ddep_ref,   # (1, 1, T)  f32
+    # gradient outputs (VMEM accumulators; wt order, then per-tile tensors)
+    dw0_ref, db0_ref, dg0_ref, df0_ref,
+    dw1_ref, db1_ref, dg1_ref, df1_ref,
+    dwc_ref, dbc_ref, dgc_ref, dfc_ref,
+    dwr_ref, dbr_ref, dws_ref, dbs_ref,
+    dpts_ref,   # (1, S, T, 3) f32 — COARSE points only (fine are detached)
+    *,
+    S: int,
+    warp_scale: float,
+    clamp_mode: str,
+    white_back: bool,
+    last_back: bool,
+    use_noise: bool,
+    fast_sin: bool,
+    mm_dtype,
+):
+    """Hand-written backward: recomputes the tile forward in VMEM (keeping
+    pre-activations), then backpropagates compositing -> fine MLP -> coarse
+    MLP, accumulating weight/film grads across the grid.  The hierarchical
+    resample stays stop-gradient (reference `.detach()` semantics): coarse
+    density receives gradient only through the final compositing, and the
+    fine points are fully detached — so origins/dirs/z/u/noise get ZERO
+    cotangents (matching the reference; camera gradients flow through the
+    differentiable coarse `pts` input, which does get its exact grad)."""
+    if fast_sin:
+        from cips3d_tpu.ops.fast_sin import fast_sin as _sin
+        from cips3d_tpu.ops.fast_sin import fast_sin_grad as _sin_grad
+    else:
+        _sin = jnp.sin
+        _sin_grad = jnp.cos
+    f32 = jnp.float32
+    T = z_ref.shape[2]
+    noise_std = ns_ref[0, 0]
+    bi = pl.program_id(0)
+    film = lambda ref: ref[pl.ds(bi, 1), :]
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _init():
+        for ref in (
+            dw0_ref, db0_ref, dg0_ref, df0_ref, dw1_ref, db1_ref, dg1_ref,
+            df1_ref, dwc_ref, dbc_ref, dgc_ref, dfc_ref, dwr_ref, dbr_ref,
+            dws_ref, dbs_ref,
+        ):
+            ref[:] = jnp.zeros_like(ref)
+
+    def mlp_fwd(p_flat):
+        """Forward keeping pre-FiLM activations (a*) and mm-cast layer
+        inputs (x, h*m) — everything the backward needs, no extra sines."""
+        x = (p_flat * warp_scale).astype(mm_dtype)
+        a0 = jnp.dot(x, w0_ref[:], preferred_element_type=f32) + b0_ref[0]
+        h0m = _sin(film(g0_ref) * a0 + film(f0_ref)).astype(mm_dtype)
+        a1 = jnp.dot(h0m, w1_ref[:], preferred_element_type=f32) + b1_ref[0]
+        h1m = _sin(film(g1_ref) * a1 + film(f1_ref)).astype(mm_dtype)
+        sig = jnp.dot(h1m, ws_ref[:], preferred_element_type=f32) + bs_ref[0]
+        ac = jnp.dot(h1m, wc_ref[:], preferred_element_type=f32) + bc_ref[0]
+        hcm = _sin(film(gc_ref) * ac + film(fc_ref)).astype(mm_dtype)
+        rgb = jnp.dot(hcm, wr_ref[:], preferred_element_type=f32) + br_ref[0]
+        return dict(x=x, a0=a0, h0m=h0m, a1=a1, h1m=h1m, ac=ac, hcm=hcm,
+                    sig=sig, rgb=rgb)
+
+    rT = lambda a, b_: jax.lax.dot_general(  # a^T @ b over rows
+        a, b_, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+    bT = lambda a, w: jax.lax.dot_general(   # a @ w^T over cols
+        a, w, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+
+    def mlp_bwd(s, d_rgb, d_sig1):
+        """d_rgb (N, R) f32, d_sig1 (N, 1) f32 -> d_x (N, 3) f32 and
+        accumulated weight/film grads."""
+        mmc = lambda a: a.astype(mm_dtype)
+        d_rgbm = mmc(d_rgb)
+        dwr_ref[:] += rT(s["hcm"], d_rgbm)
+        dbr_ref[:] += jnp.sum(d_rgb, axis=0, keepdims=True)
+        d_hc = bT(d_rgbm, wr_ref[:])                      # (N, C)
+        argc = film(gc_ref) * s["ac"] + film(fc_ref)
+        d_argc = d_hc * _sin_grad(argc)
+        dgc_ref[pl.ds(bi, 1), :] += jnp.sum(d_argc * s["ac"], axis=0, keepdims=True)
+        dfc_ref[pl.ds(bi, 1), :] += jnp.sum(d_argc, axis=0, keepdims=True)
+        d_ac = d_argc * film(gc_ref)
+        N = d_sig1.shape[0]
+        d_sig8 = jnp.concatenate(
+            [d_sig1, jnp.zeros((N, 7), f32)], axis=1)     # lane-padded head
+        d_acm = mmc(d_ac)
+        d_sig8m = mmc(d_sig8)
+        dwc_ref[:] += rT(s["h1m"], d_acm)
+        dbc_ref[:] += jnp.sum(d_ac, axis=0, keepdims=True)
+        dws_ref[:] += rT(s["h1m"], d_sig8m)
+        dbs_ref[:] += jnp.sum(d_sig8, axis=0, keepdims=True)
+        d_h1 = bT(d_acm, wc_ref[:]) + bT(d_sig8m, ws_ref[:])
+        arg1 = film(g1_ref) * s["a1"] + film(f1_ref)
+        d_arg1 = d_h1 * _sin_grad(arg1)
+        dg1_ref[pl.ds(bi, 1), :] += jnp.sum(d_arg1 * s["a1"], axis=0, keepdims=True)
+        df1_ref[pl.ds(bi, 1), :] += jnp.sum(d_arg1, axis=0, keepdims=True)
+        d_a1 = d_arg1 * film(g1_ref)
+        d_a1m = mmc(d_a1)
+        dw1_ref[:] += rT(s["h0m"], d_a1m)
+        db1_ref[:] += jnp.sum(d_a1, axis=0, keepdims=True)
+        d_h0 = bT(d_a1m, w1_ref[:])
+        arg0 = film(g0_ref) * s["a0"] + film(f0_ref)
+        d_arg0 = d_h0 * _sin_grad(arg0)
+        dg0_ref[pl.ds(bi, 1), :] += jnp.sum(d_arg0 * s["a0"], axis=0, keepdims=True)
+        df0_ref[pl.ds(bi, 1), :] += jnp.sum(d_arg0, axis=0, keepdims=True)
+        d_a0 = d_arg0 * film(g0_ref)
+        d_a0m = mmc(d_a0)
+        dw0_ref[:] += rT(s["x"], d_a0m)
+        db0_ref[:] += jnp.sum(d_a0, axis=0, keepdims=True)
+        d_x = bT(d_a0m, w0_ref[:])                        # (N, 3)
+        return d_x * warp_scale
+
+    # ---- recompute forward (mirrors _ray_tile_kernel exactly) ------------
+    pts = pts_ref[0]
+    sc_state = mlp_fwd(pts.reshape(S * T, 3))
+    sig_c = sc_state["sig"].reshape(S, T, 8)[..., 0]
+    rgb_c = sc_state["rgb"]
+    z = z_ref[0]
+    deltas = jnp.concatenate([z[1:] - z[:-1], jnp.full((1, T), 1e10, f32)], 0)
+    scn = sig_c + nc_ref[0] * noise_std if use_noise else sig_c
+    alpha_c = 1.0 - jnp.exp(-deltas * _clamp(scn, clamp_mode))
+    logx_c = jnp.log(jnp.maximum(1.0 - alpha_c, 1e-10))
+    ii = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    excl = (jj < ii).astype(f32)
+    w_c = alpha_c * jnp.exp(jnp.dot(excl, logx_c, preferred_element_type=f32))
+    inner = (w_c + 1e-5)[1:-1] + 1e-5
+    pdf = inner / jnp.sum(inner, axis=0, keepdims=True)
+    nb = S - 2
+    cj = jax.lax.broadcasted_iota(jnp.int32, (nb + 1, nb), 0)
+    ck = jax.lax.broadcasted_iota(jnp.int32, (nb + 1, nb), 1)
+    cmask = (ck < cj).astype(f32)
+    cdf = jnp.dot(cmask, pdf, preferred_element_type=f32)
+    z_mid = 0.5 * (z[:-1] + z[1:])
+    u = u_ref[0]
+    inds = jnp.sum((cdf[None] < u[:, None, :]).astype(f32), axis=1)
+    below = jnp.maximum(inds - 1.0, 0.0)
+    above = jnp.minimum(inds, float(nb))
+    bins_i = jax.lax.broadcasted_iota(jnp.int32, (1, nb + 1, 1), 1).astype(f32)
+    sel_b = (below[:, None, :] == bins_i).astype(f32)
+    sel_a = (above[:, None, :] == bins_i).astype(f32)
+    cdf_b = jnp.sum(sel_b * cdf[None], axis=1)
+    cdf_a = jnp.sum(sel_a * cdf[None], axis=1)
+    zm_b = jnp.sum(sel_b * z_mid[None], axis=1)
+    zm_a = jnp.sum(sel_a * z_mid[None], axis=1)
+    denom = cdf_a - cdf_b
+    denom = jnp.where(denom < 1e-5, 1.0, denom)
+    fine_z = zm_b + (u - cdf_b) / denom * (zm_a - zm_b)
+    fine_pts = org_ref[0][None] + dir_ref[0][None] * fine_z[..., None]
+    sf_state = mlp_fwd(fine_pts.reshape(S * T, 3))
+    sig_f = sf_state["sig"].reshape(S, T, 8)[..., 0]
+
+    m = 2 * S
+    z_all = jnp.concatenate([fine_z, z], axis=0)
+    sig_all = jnp.concatenate([sig_f, sig_c], axis=0)
+    less = z_all[None, :, :] < z_all[:, None, :]
+    equal = z_all[None, :, :] == z_all[:, None, :]
+    mj = jax.lax.broadcasted_iota(jnp.int32, (m, m, 1), 0)
+    mk = jax.lax.broadcasted_iota(jnp.int32, (m, m, 1), 1)
+    before = jnp.logical_or(less, jnp.logical_and(equal, mk < mj)).astype(f32)
+    rank = jnp.sum(before, axis=1)
+    if use_noise:
+        sig_all = sig_all + nf_ref[0] * noise_std
+    dens = _clamp(sig_all, clamp_mode)
+    succ = (rank[:, None, :] + 1.0 == rank[None, :, :]).astype(f32)
+    z_next = jnp.sum(succ * z_all[None], axis=1)
+    is_last = rank == float(m - 1)
+    deltas_m = jnp.where(is_last, 1e10, z_next - z_all)
+    expd = jnp.exp(-deltas_m * dens)
+    alpha = 1.0 - expd
+    one_m_alpha = jnp.maximum(1.0 - alpha, 1e-10)
+    logx = jnp.log(one_m_alpha)
+    trans = jnp.exp(jnp.sum(before * logx[None], axis=1))
+    w0_w = alpha * trans                                  # pre-last_back
+    rgb_all = jnp.concatenate(
+        [sf_state["rgb"].reshape(S, T, -1), rgb_c.reshape(S, T, -1)], axis=0
+    )
+
+    # ---- compositing backward -------------------------------------------
+    d_fea = dfea_ref[0].astype(f32)                       # (T, R)
+    d_dep = ddep_ref[0]                                   # (1, T)
+    d_w1 = jnp.sum(rgb_all * d_fea[None], axis=2) + d_dep * z_all  # (m, T)
+    d_wsum = jnp.zeros((1, T), f32)
+    if white_back:
+        d_wsum = d_wsum - jnp.swapaxes(
+            jnp.sum(d_fea, axis=1, keepdims=True), 0, 1)
+    d_w0 = d_w1
+    if last_back:
+        d_wsum = d_wsum - jnp.sum(
+            d_w1 * is_last.astype(f32), axis=0, keepdims=True)
+    d_w0 = d_w0 + d_wsum                                  # wsum = sum_m w0
+    w_lb = w0_w
+    if last_back:
+        w_sum = jnp.sum(w0_w, axis=0, keepdims=True)
+        w_lb = w0_w + (1.0 - w_sum) * is_last.astype(f32)
+    d_rgb_all = w_lb[..., None] * d_fea[None]             # (m, T, R)
+    d_alpha = d_w0 * trans
+    d_acc = trans * (d_w0 * alpha)                        # d wrt sum(before*logx)
+    d_logx = jnp.sum(before * d_acc[:, None, :], axis=0)  # (m, T)
+    d_alpha = d_alpha + jnp.where(
+        (1.0 - alpha) > 1e-10, -d_logx / one_m_alpha, 0.0)
+    d_dens = d_alpha * deltas_m * expd
+    if clamp_mode == "softplus":
+        d_sig_all = d_dens * jax.nn.sigmoid(sig_all)
+    else:
+        d_sig_all = d_dens * (sig_all > 0).astype(f32)
+
+    to_rows1 = lambda a: a[..., None].reshape(S * T, 1)   # (S, T) -> (N, 1)
+    mlp_bwd(  # fine pass: weight/film grads only (fine points detached)
+        sf_state,
+        d_rgb_all[:S].reshape(S * T, -1),
+        to_rows1(d_sig_all[:S]),
+    )
+    d_xc = mlp_bwd(
+        sc_state,
+        d_rgb_all[S:].reshape(S * T, -1),
+        to_rows1(d_sig_all[S:]),
+    )
+    dpts_ref[0] = d_xc.reshape(S, T, 3)
+
+
+def _pallas_backward(
+    wt, pts, org, dirs, z_sq, u, nc, nf, ns, d_fea, d_dep,
+    *, tile, interpret, clamp_mode, white_back, last_back, use_noise,
+    fast_sin, mm_dtype, warp_scale, out_dtype,
+):
+    """Invoke the backward kernel; returns (d_wt tuple, d_pts, d_org, d_dirs)
+    in the unpadded ray-major layouts of the primal inputs."""
+    w0, b0, g0, f0, w1, b1, g1, f1, wc, bc, gc, fc, wr, br, ws, bs = wt
+    b, n, S, _ = pts.shape
+    f32 = jnp.float32
+    H = w0.shape[1]
+    C = wc.shape[1]
+    R = wr.shape[1]
+
+    pad = (-n) % tile
+    def prep(x, smajor):
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2))
+        return jnp.swapaxes(x, 1, 2) if smajor else x
+    pts_p = prep(pts, True)
+    org_p = prep(org, False)
+    dir_p = prep(dirs, False)
+    z_p = prep(z_sq, True)
+    u_p = prep(u, True)
+    nc_p = prep(nc, True)
+    nf_p = prep(nf, True)
+    dfea_p = prep(d_fea, False)
+    ddep_p = prep(d_dep, True)                            # (b, 1, n_pad)
+    n_pad = n + pad
+    n_tiles = n_pad // tile
+
+    mm = lambda a: a.astype(mm_dtype)
+    ray_idx = lambda bi, ti: (bi, ti, 0)
+    smj_idx = lambda bi, ti: (bi, 0, ti)
+    smj_idx4 = lambda bi, ti: (bi, 0, ti, 0)
+    fixed = lambda *_: (0, 0)
+    vspec = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    grid_spec = pl.GridSpec(
+        grid=(b, n_tiles),
+        in_specs=[
+            vspec((1, S, tile, 3), smj_idx4),
+            vspec((1, tile, 3), ray_idx),
+            vspec((1, tile, 3), ray_idx),
+            vspec((1, S, tile), smj_idx),
+            vspec((1, S, tile), smj_idx),
+            vspec((1, S, tile), smj_idx),
+            vspec((1, 2 * S, tile), smj_idx),
+            pl.BlockSpec((1, 1), fixed, memory_space=pltpu.SMEM),
+            vspec((3, H), fixed), vspec((1, H), fixed), full, full,
+            vspec((H, H), fixed), vspec((1, H), fixed), full, full,
+            vspec((H, C), fixed), vspec((1, C), fixed), full, full,
+            vspec((C, R), fixed), vspec((1, R), fixed),
+            vspec((H, 8), fixed), vspec((1, 8), fixed),
+            vspec((1, tile, R), ray_idx),
+            vspec((1, 1, tile), smj_idx),
+        ],
+        out_specs=[
+            vspec((3, H), fixed), vspec((1, H), fixed), full, full,
+            vspec((H, H), fixed), vspec((1, H), fixed), full, full,
+            vspec((H, C), fixed), vspec((1, C), fixed), full, full,
+            vspec((C, R), fixed), vspec((1, R), fixed),
+            vspec((H, 8), fixed), vspec((1, 8), fixed),
+            vspec((1, S, tile, 3), smj_idx4),
+        ],
+    )
+    kernel = functools.partial(
+        _ray_tile_bwd_kernel,
+        S=S, warp_scale=warp_scale, clamp_mode=clamp_mode,
+        white_back=white_back, last_back=last_back, use_noise=use_noise,
+        fast_sin=fast_sin, mm_dtype=mm_dtype,
+    )
+    sds = jax.ShapeDtypeStruct
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=[
+            sds((3, H), f32), sds((1, H), f32), sds((b, H), f32), sds((b, H), f32),
+            sds((H, H), f32), sds((1, H), f32), sds((b, H), f32), sds((b, H), f32),
+            sds((H, C), f32), sds((1, C), f32), sds((b, C), f32), sds((b, C), f32),
+            sds((C, R), f32), sds((1, R), f32),
+            sds((H, 8), f32), sds((1, 8), f32),
+            sds((b, S, n_pad, 3), f32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+        # the recompute backward holds both passes' pre-activations plus the
+        # compositing matrices (~19 MB at tile 128) — raise XLA's default
+        # 16 MB scoped-vmem cap (physical VMEM is larger on v5e)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(
+        pts_p, org_p, dir_p, z_p, u_p, nc_p, nf_p, ns,
+        mm(w0), b0, g0, f0,
+        mm(w1), b1, g1, f1,
+        mm(wc), bc, gc, fc,
+        mm(wr), br,
+        mm(ws), bs,
+        dfea_p, ddep_p,
+    )
+    d_wt = tuple(outs[:16])
+    d_pts = jnp.swapaxes(outs[16], 1, 2)[:, :n]
+    return d_wt, d_pts
+
+
+@functools.lru_cache(maxsize=32)
+def _make_core(
+    tile, clamp_mode, white_back, last_back, use_noise, fast_sin,
+    mm_name, out_name, interpret, warp_scale, vjp_impl, tile_bwd,
+):
+    """custom_vjp core: Pallas forward; backward per `vjp_impl` —
+    'pallas' = the hand-written recompute kernel (_ray_tile_bwd_kernel),
+    'jnp' = `jax.vjp` of the jnp mirror (reference implementation, used to
+    validate the kernel).  Cached per static configuration so jit tracing
+    reuses one callable."""
+    mm_dtype = jnp.dtype(mm_name)
+    out_dtype = jnp.dtype(out_name)
+    statics = dict(
+        clamp_mode=clamp_mode, white_back=white_back, last_back=last_back,
+        use_noise=use_noise, fast_sin=fast_sin, mm_dtype=mm_dtype,
+        warp_scale=warp_scale, out_dtype=out_dtype,
+    )
+    jcore = functools.partial(_jnp_core, **statics)
+
+    def f(wt, pts, org, dirs, z, u, nc, nf, ns):
+        return _pallas_forward(
+            wt, pts, org, dirs, z, u, nc, nf, ns,
+            tile=tile, interpret=interpret, **statics,
+        )
+
+    core = jax.custom_vjp(f)
+
+    def fwd(*args):
+        return f(*args), args
+
+    def bwd_jnp(res, cot):
+        # Re-run the jnp mirror under jax.vjp: full, exact cotangents for
+        # every input (resample stays stop-gradient, matching the reference).
+        _, vjp_fn = jax.vjp(jcore, *res)
+        return vjp_fn(cot)
+
+    def bwd_pallas(res, cot):
+        wt, pts, org, dirs, z, u, nc, nf, ns = res
+        d_fea, d_dep = cot
+        d_wt, d_pts = _pallas_backward(
+            wt, pts, org, dirs, z, u, nc, nf, ns,
+            d_fea.astype(out_dtype), d_dep.astype(jnp.float32),
+            tile=tile_bwd, interpret=interpret, **statics,
+        )
+        # fine points are detached (reference .detach()): org/dirs/z/u/noise
+        # cotangents are zero; camera grads flow through the coarse pts input
+        zeros = jax.tree_util.tree_map(
+            jnp.zeros_like, (org, dirs, z, u, nc, nf, ns))
+        return (d_wt, d_pts) + zeros
+
+    core.defvjp(fwd, bwd_jnp if vjp_impl == "jnp" else bwd_pallas)
+    return core
+
+
 def fused_ray_render(
     siren_params: Mapping[str, Any],
     style_dict: Mapping[str, jnp.ndarray],
@@ -227,7 +728,9 @@ def fused_ray_render(
     dtype: Any = jnp.float32,
     box_sidelength: float = 0.24,
     tile: int = DEFAULT_TILE,
+    tile_bwd: int = 128,    # ray-tile lane width: must be a multiple of 128
     fast_sin: bool = False,
+    vjp_impl: str = "pallas",
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused NeRF stage of `GeneratorNerfINR.points_forward` (hierarchical
@@ -236,6 +739,11 @@ def fused_ray_render(
     `key` is the same key `points_forward` receives; it is split exactly like
     the XLA path (k_pdf, k_noise_coarse, k_noise_final) and the draws are
     made with the XLA path's shapes/dtypes, so results match on the same key.
+
+    Differentiable: gradients flow to the SIREN params (through
+    `extract_siren_weights`/`compute_films`) and to points/origins/dirs/z;
+    the hierarchical resample is stop-gradient, matching the reference.
+    Depth is returned as-is; the generator stop-gradients it.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -259,11 +767,41 @@ def fused_ray_render(
 
     weights = extract_siren_weights(siren_params)
     films = compute_films(siren_params, style_dict)
-    H = weights["w0"].shape[1]
-    C = weights["wc"].shape[1]
-    R = weights["wr"].shape[1]
-    ws = jnp.pad(weights["ws"], ((0, 0), (0, 7)))
-    bs = jnp.pad(weights["bs"].reshape(1, 1), ((0, 0), (0, 7)))
+    wt = (
+        weights["w0"].astype(f32), weights["b0"].reshape(1, -1).astype(f32),
+        films["g0"].astype(f32), films["f0"].astype(f32),
+        weights["w1"].astype(f32), weights["b1"].reshape(1, -1).astype(f32),
+        films["g1"].astype(f32), films["f1"].astype(f32),
+        weights["wc"].astype(f32), weights["bc"].reshape(1, -1).astype(f32),
+        films["gc"].astype(f32), films["fc"].astype(f32),
+        weights["wr"].astype(f32), weights["br"].reshape(1, -1).astype(f32),
+        jnp.pad(weights["ws"], ((0, 0), (0, 7))).astype(f32),
+        jnp.pad(weights["bs"].reshape(1, 1), ((0, 0), (0, 7))).astype(f32),
+    )
+    core = _make_core(
+        tile, clamp_mode, white_back, last_back, use_noise, fast_sin,
+        jnp.dtype(mm_dtype).name, jnp.dtype(dtype).name, interpret,
+        2.0 / box_sidelength, vjp_impl, tile_bwd,
+    )
+    return core(
+        wt, pts.astype(f32), origins.astype(f32), dirs.astype(f32),
+        z_vals[..., 0].astype(f32), u.astype(f32), nc, nf, ns,
+    )
+
+
+def _pallas_forward(
+    wt, pts, org, dirs, z_sq, u, nc, nf, ns,
+    *, tile, interpret, clamp_mode, white_back, last_back, use_noise,
+    fast_sin, mm_dtype, warp_scale, out_dtype,
+):
+    """Invoke the s-major ray-tile kernel on (b, n, ...) f32 arrays."""
+    w0, b0, g0, f0, w1, b1, g1, f1, wc, bc, gc, fc, wr, br, ws, bs = wt
+    b, n, S, _ = pts.shape
+    f32 = jnp.float32
+    H = w0.shape[1]
+    C = wc.shape[1]
+    R = wr.shape[1]
+    dtype = out_dtype
 
     pad = (-n) % tile
     def prep(x, smajor_ndim):
@@ -275,26 +813,26 @@ def fused_ray_render(
         if smajor_ndim == 4:                    # (b, n, S, 3) -> (b, S, n, 3)
             return jnp.swapaxes(x, 1, 2)
         return x                                # (b, n, 3) stays ray-major
-    pts_p = prep(pts.astype(f32), 4)
-    org_p = prep(origins.astype(f32), 2)
-    dir_p = prep(dirs.astype(f32), 2)
-    z_p = prep(z_vals[..., 0].astype(f32), 3)
-    u_p = prep(u.astype(f32), 3)
+    pts_p = prep(pts, 4)
+    org_p = prep(org, 2)
+    dir_p = prep(dirs, 2)
+    z_p = prep(z_sq, 3)
+    u_p = prep(u, 3)
     nc_p = prep(nc, 3)
     nf_p = prep(nf, 3)
     n_pad = n + pad
     n_tiles = n_pad // tile
 
     mm = lambda w: w.astype(mm_dtype)
-    row32 = lambda v: v.reshape(1, -1).astype(f32)
 
     ray_idx = lambda bi, ti: (bi, ti, 0)            # (b, n_pad, 3) tensors
     smj_idx = lambda bi, ti: (bi, 0, ti)            # (b, S, n_pad) tensors
     smj_idx4 = lambda bi, ti: (bi, 0, ti, 0)        # (b, S, n_pad, 3)
     fixed = lambda *_: (0, 0)
-    bvec = lambda bi, ti: (bi, 0)
 
     vspec = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    # films ride whole ((b, dim) is tiny); the kernel slices its batch row
+    bvec_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     grid_spec = pl.GridSpec(
         grid=(b, n_tiles),
         in_specs=[
@@ -307,11 +845,11 @@ def fused_ray_render(
             vspec((1, 2 * S, tile), smj_idx),
             pl.BlockSpec((1, 1), fixed, memory_space=pltpu.SMEM),
             vspec((3, H), fixed), vspec((1, H), fixed),
-            vspec((1, H), bvec), vspec((1, H), bvec),
+            bvec_spec, bvec_spec,
             vspec((H, H), fixed), vspec((1, H), fixed),
-            vspec((1, H), bvec), vspec((1, H), bvec),
+            bvec_spec, bvec_spec,
             vspec((H, C), fixed), vspec((1, C), fixed),
-            vspec((1, C), bvec), vspec((1, C), bvec),
+            bvec_spec, bvec_spec,
             vspec((C, R), fixed), vspec((1, R), fixed),
             vspec((H, 8), fixed), vspec((1, 8), fixed),
         ],
@@ -324,7 +862,7 @@ def fused_ray_render(
     kernel = functools.partial(
         _ray_tile_kernel,
         S=S,
-        warp_scale=2.0 / box_sidelength,
+        warp_scale=warp_scale,
         clamp_mode=clamp_mode,
         white_back=white_back,
         last_back=last_back,
@@ -349,13 +887,10 @@ def fused_ray_render(
         ),
     )(
         pts_p, org_p, dir_p, z_p, u_p, nc_p, nf_p, ns,
-        mm(weights["w0"]), row32(weights["b0"]),
-        films["g0"].astype(f32), films["f0"].astype(f32),
-        mm(weights["w1"]), row32(weights["b1"]),
-        films["g1"].astype(f32), films["f1"].astype(f32),
-        mm(weights["wc"]), row32(weights["bc"]),
-        films["gc"].astype(f32), films["fc"].astype(f32),
-        mm(weights["wr"]), row32(weights["br"]),
-        mm(ws), bs.astype(f32),
+        mm(w0), b0, g0, f0,
+        mm(w1), b1, g1, f1,
+        mm(wc), bc, gc, fc,
+        mm(wr), br,
+        mm(ws), bs,
     )
     return fea[:, :n], jnp.swapaxes(dep[:, :1, :n], 1, 2)

@@ -10,6 +10,7 @@ Runs in Pallas interpret mode on the CPU simulation.
 import dataclasses
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -142,6 +143,108 @@ def test_fast_sin_mode(setup):
     np.testing.assert_allclose(np.asarray(dep), np.asarray(ref_dep), rtol=2e-4, atol=2e-5)
 
 
+def _assert_grads_close(a, b, tol=1e-4, msg=""):
+    """Gradient comparison normalized by the leaf's magnitude: elementwise
+    rtol is meaningless on near-zero entries of leaves whose max |g| is 1e4
+    (measured agreement of the two paths is ~1e-6 of max |g|)."""
+    a, b = np.asarray(a), np.asarray(b)
+    scale = np.abs(b).max() + 1.0
+    err = np.abs(a - b).max() / scale
+    assert err < tol, f"{msg}: normalized grad err {err:.3e} (scale {scale:.3e})"
+
+
+@pytest.mark.parametrize("impl", ["jnp", "pallas"])
+def test_grad_parity(setup, impl):
+    """d(siren params), d(styles) through the fused path must match the XLA
+    path (custom VJP; resample stop-gradient both sides) — for both the
+    jax.vjp-of-jnp-mirror backward and the hand-written Pallas backward."""
+    siren, params, styles, pts, origins, dirs, z_vals = setup
+    key = jax.random.PRNGKey(21)
+
+    def loss_fused(params, styles):
+        fea, _ = fused_ray_render(
+            params["params"], styles, pts, origins, dirs, z_vals, key,
+            tile=32, tile_bwd=32, vjp_impl=impl,
+        )
+        return jnp.sum(fea * fea)
+
+    def loss_xla(params, styles):
+        fea, _ = xla_reference(siren, params, styles, pts, origins, dirs, z_vals, key)
+        return jnp.sum(fea * fea)
+
+    gp_f, gs_f = jax.grad(loss_fused, argnums=(0, 1))(params, styles)
+    gp_x, gs_x = jax.grad(loss_xla, argnums=(0, 1))(params, styles)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(gp_f),
+        jax.tree_util.tree_leaves_with_path(gp_x),
+    ):
+        _assert_grads_close(a, b, msg=jax.tree_util.keystr(path))
+    for k in styles:
+        _assert_grads_close(gs_f[k], gs_x[k], msg=k)
+
+
+@pytest.mark.parametrize("impl", ["jnp", "pallas"])
+def test_grad_parity_noise(setup, impl):
+    """Gradients with the density-noise schedule active (traced noise_std)."""
+    siren, params, styles, pts, origins, dirs, z_vals = setup
+    key = jax.random.PRNGKey(22)
+    ns = jnp.asarray(0.4, jnp.float32)
+
+    def loss_fused(params):
+        fea, _ = fused_ray_render(
+            params["params"], styles, pts, origins, dirs, z_vals, key,
+            noise_std=ns, tile=32, tile_bwd=32, vjp_impl=impl,
+        )
+        return jnp.sum(fea * fea)
+
+    def loss_xla(params):
+        fea, _ = xla_reference(
+            siren, params, styles, pts, origins, dirs, z_vals, key, noise_std=ns
+        )
+        return jnp.sum(fea * fea)
+
+    gp_f = jax.grad(loss_fused)(params)
+    gp_x = jax.grad(loss_xla)(params)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(gp_f),
+        jax.tree_util.tree_leaves_with_path(gp_x),
+    ):
+        _assert_grads_close(a, b, msg=jax.tree_util.keystr(path))
+
+
+def test_generator_train_grads():
+    """jax.grad through the full generator with fused_ray on == off (f32)."""
+    from cips3d_tpu.models.generator import (
+        GeneratorConfig, GeneratorNerfINR, RenderOptions, sample_zs,
+    )
+
+    kwargs = dict(
+        z_dim_nerf=16, z_dim_inr=32, nerf_hidden_dim=H, nerf_style_dim=H,
+        nerf_rgb_dim=R, nerf_mapping_layers=2, inr_hidden_dim=32,
+        inr_style_dim=32, inr_mapping_layers=2,
+    )
+    opts = RenderOptions(img_size=8, num_steps=6, nerf_noise=jnp.asarray(0.2))
+    key = jax.random.PRNGKey(0)
+    zs = sample_zs(key, 2, GeneratorConfig(**kwargs))
+
+    grads = {}
+    for fused in (False, True):
+        gen = GeneratorNerfINR(cfg=GeneratorConfig(fused_ray=fused, **kwargs))
+        params = gen.init(jax.random.PRNGKey(1), zs, jax.random.PRNGKey(2), opts)
+
+        def loss(p):
+            img, aux = gen.apply(p, zs, jax.random.PRNGKey(3), opts,
+                                 return_aux_img=True)
+            return jnp.sum(img * img) + jnp.sum(aux * aux)
+
+        grads[fused] = jax.grad(loss)(params)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(grads[True]),
+        jax.tree_util.tree_leaves_with_path(grads[False]),
+    ):
+        _assert_grads_close(a, b, tol=3e-4, msg=jax.tree_util.keystr(path))
+
+
 def test_generator_level_parity():
     """GeneratorNerfINR(fused_ray=True) == (False) on the same key (f32)."""
     from cips3d_tpu.models.generator import (
@@ -165,3 +268,50 @@ def test_generator_level_parity():
         imgs[fused] = (np.asarray(img), np.asarray(aux))
     np.testing.assert_allclose(imgs[True][0], imgs[False][0], rtol=5e-4, atol=5e-5)
     np.testing.assert_allclose(imgs[True][1], imgs[False][1], rtol=5e-4, atol=5e-5)
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [dict(white_back=True), dict(last_back=True), dict(clamp_mode="softplus"),
+     dict(fast_sin=True)],
+    ids=["white_back", "last_back", "softplus", "fast_sin"],
+)
+def test_grad_parity_variants_pallas_bwd(setup, kwargs):
+    """Pallas backward vs jnp-mirror backward across the static variants
+    (incl. fast_sin, whose backward uses the polynomial derivative)."""
+    siren, params, styles, pts, origins, dirs, z_vals = setup
+    key = jax.random.PRNGKey(23)
+
+    def loss(params, impl):
+        fea, _ = fused_ray_render(
+            params["params"], styles, pts, origins, dirs, z_vals, key,
+            tile=32, tile_bwd=32, vjp_impl=impl, **kwargs,
+        )
+        return jnp.sum(fea * fea)
+
+    gp = jax.grad(lambda p: loss(p, "pallas"))(params)
+    gj = jax.grad(lambda p: loss(p, "jnp"))(params)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(gp),
+        jax.tree_util.tree_leaves_with_path(gj),
+    ):
+        _assert_grads_close(a, b, msg=jax.tree_util.keystr(path))
+
+
+def test_camera_grads_pallas_bwd(setup):
+    """d(origins), d(dirs), d(pts) from the Pallas backward (the diffcam
+    camera-optimization path) must match the jnp-mirror backward."""
+    siren, params, styles, pts, origins, dirs, z_vals = setup
+    key = jax.random.PRNGKey(24)
+
+    def loss(p, o, d, impl):
+        fea, _ = fused_ray_render(
+            params["params"], styles, p, o, d, z_vals, key,
+            tile=32, tile_bwd=32, vjp_impl=impl,
+        )
+        return jnp.sum(fea * fea)
+
+    for argnum, name in [(0, "pts"), (1, "origins"), (2, "dirs")]:
+        ga = jax.grad(lambda *a: loss(*a, "pallas"), argnums=argnum)(pts, origins, dirs)
+        gb = jax.grad(lambda *a: loss(*a, "jnp"), argnums=argnum)(pts, origins, dirs)
+        _assert_grads_close(ga, gb, msg=name)
