@@ -35,9 +35,11 @@ def main():
     # for exact-sin numbers.
     gcfg = GeneratorConfig(
         fast_sin=os.environ.get("BENCH_FAST_SIN", "1") == "1",
-        # Fused ray-tile Pallas kernel (custom VJP) for the NeRF stage;
-        # BENCH_FUSED=0 for the XLA path.
-        fused_ray=os.environ.get("BENCH_FUSED", "1") == "1",
+        # BENCH_FUSED=1 routes the G phase (fwd+bwd) through the fused
+        # ray-tile kernel too; default off — its recompute backward makes
+        # G-phase fused a wash-to-slight-loss, while the D phase picks the
+        # kernel automatically under fast_sin (TrainConfig.fused_dphase).
+        fused_ray=os.environ.get("BENCH_FUSED", "0") == "1",
     )
     opts = RenderOptions(img_size=img_size, num_steps=12)
     tcfg = TrainConfig(img_size=img_size, batch_size=batch)

@@ -24,21 +24,16 @@ def main(img_size=256, num_steps=12, frames=16):
     )
 
     import os
-    # Round 2: the XLA path (56.4 fps) overtook the fixed-tile Pallas kernel
-    # (50.5 fps) once the cumprod/blur lowerings were fixed and fast_sin
-    # removed the sin bound the kernel was built around — default off.
-    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
     # polynomial sine (max abs err 1.7e-5 — invisible at 8-bit) is the
     # serving default; BENCH_FAST_SIN=0 for exact-sin numbers
     fast_sin = os.environ.get("BENCH_FAST_SIN", "1") == "1"
     # Round 3: the fused ray-tile kernel (ops/pallas/ray_tile.py) renders the
-    # whole NeRF stage per VMEM-resident ray tile — 6.3 vs 10.8 ms at 65k
-    # rays against the tuned XLA path — and is the serving default;
-    # BENCH_FUSED=0 for the XLA path.
+    # whole NeRF stage per VMEM-resident ray tile — 88.9 vs 60.8 fps against
+    # the tuned XLA path, same session — and is the serving default;
+    # BENCH_FUSED=0 for the XLA path.  (It supersedes round-2's forward-only
+    # FiLM-SIREN kernel, retired after losing to the fixed XLA path.)
     fused_ray = os.environ.get("BENCH_FUSED", "1") == "1"
-    cfg = GeneratorConfig(
-        use_pallas_siren=use_pallas, fast_sin=fast_sin, fused_ray=fused_ray
-    )
+    cfg = GeneratorConfig(fast_sin=fast_sin, fused_ray=fused_ray)
     gen = GeneratorNerfINR(cfg=cfg, dtype=jnp.bfloat16)
     opts = RenderOptions(img_size=img_size, num_steps=num_steps, h_stddev=0.0, v_stddev=0.0)
     key = jax.random.PRNGKey(0)

@@ -60,16 +60,14 @@ class GeneratorConfig:
     inr_mapping_layers: int = 8
     inr_pre_rgb_dim: int = 3
     freeze_nerf: bool = False          # GeneratorNerfINR_freeze_NeRF (`generator.py:1954`)
-    # Fused Pallas FiLM-SIREN point MLP (ops/pallas/film_mlp.py) — forward
-    # only (no custom VJP yet): enable for inference/rendering, not training.
-    use_pallas_siren: bool = False
     # Polynomial sine in the SIREN (ops/fast_sin.py): ~1.7e-5 max abs error,
     # an inference-only speed knob for the sin-bound point MLP.
     fast_sin: bool = False
     # Fused ray-tile renderer (ops/pallas/ray_tile.py): the whole NeRF stage
     # — coarse SIREN → resample → fine SIREN → compositing — in one Pallas
-    # kernel over VMEM-resident ray tiles (SURVEY §7.7).  Forward-only:
-    # enable for inference/rendering; training autodiff pends the custom VJP.
+    # kernel over VMEM-resident ray tiles (SURVEY §7.7), with a hand-written
+    # Pallas backward (custom VJP) for training.  1.4-1.5x the XLA path on
+    # r256 inference (88.9 vs 60.8 fps); ~even at r64 training (BENCH_NOTES).
     fused_ray: bool = False
 
 
@@ -249,18 +247,6 @@ class GeneratorNerfINR(nn.Module):
             separate through the whole volume path (a packed (c+1)-channel
             tensor forces layout-conversion copies on TPU; ~20% of the r256
             step's copy time before the split)."""
-            if (
-                self.cfg.use_pallas_siren
-                and self.cfg.nerf_hidden_layers == 2
-                and not self.is_initializing()
-            ):
-                from cips3d_tpu.ops.pallas.film_mlp import siren_forward_pallas
-
-                packed = siren_forward_pallas(
-                    self.siren.variables["params"], p_flat, style_dict,
-                    fast_sin=self.cfg.fast_sin,
-                ).astype(self.dtype)
-                return packed[..., :-1], packed[..., -1:]
             return self.siren(p_flat, style_dict, split=True)
 
         from cips3d_tpu.utils import debug

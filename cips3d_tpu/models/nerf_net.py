@@ -8,7 +8,8 @@ the color FiLM (`generator.py:213-243`).
 
 This MLP is the hot loop (B·H·W·2·S point evals per image); it is expressed
 as dense matmuls over a flattened point axis so XLA tiles it straight onto the
-MXU.  A fused Pallas variant lives in `cips3d_tpu.ops.pallas.film_mlp`.
+MXU.  The fused ray-tile Pallas kernel (`cips3d_tpu.ops.pallas.ray_tile`)
+subsumes this module's math for the hierarchical rendering path.
 """
 
 from __future__ import annotations

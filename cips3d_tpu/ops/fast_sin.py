@@ -14,7 +14,8 @@ absolute error 1.7e-5 — far below one 8-bit quantization level (3.9e-3).
 About 9 VPU ops per element vs the several dozen of the full-accuracy sin.
 
 Used by the inference paths (`GeneratorConfig.fast_sin`,
-`ops/pallas/film_mlp.py`); training keeps exact `jnp.sin`.
+`ops/pallas/ray_tile.py`); training keeps exact `jnp.sin`
+(docs/sin_ab/REPORT.md: fast_sin converges ~10% worse at r64).
 """
 
 from __future__ import annotations

@@ -1,4 +1,3 @@
-from cips3d_tpu.ops.pallas.film_mlp import (  # noqa: F401
-    film_mlp_forward,
-    siren_forward_pallas,
+from cips3d_tpu.ops.pallas.ray_tile import (  # noqa: F401
+    fused_ray_render,
 )

@@ -30,9 +30,11 @@ Reference semantics being fused (cited per stage in the kernel body):
   * the hot loop being replaced: `exp/cips3d/models/generator.py:1659-1762`.
 
 Numerics: matmuls run with `mm_dtype` inputs (bf16 when the generator
-computes in bf16) and f32 accumulation; FiLM pre-activations, sines, and ALL
-depth/CDF/compositing math stay f32 (z spans [0.88, 1.12] — bf16 resolution
-there is ~4e-3, unusable).  Random draws (importance-sample uniforms,
+computes in bf16) and f32 accumulation; sines compute in f32 (Mosaic has
+no bf16 transcendentals — math.sin/roundeven on bf16 vectors fail to
+legalize) with results cast to `mm_dtype`; ALL depth/CDF/compositing math
+stays f32 (z spans [0.88, 1.12] — bf16 resolution there is ~4e-3,
+unusable).  Random draws (importance-sample uniforms,
 density noise) are made OUTSIDE with the same key splits / shapes / dtypes
 as the XLA path, so with f32 compute the kernel reproduces
 `GeneratorNerfINR.points_forward`'s NeRF stage on the same key to
@@ -53,9 +55,48 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cips3d_tpu.ops.pallas.film_mlp import compute_films, extract_siren_weights
-
 DEFAULT_TILE = 128
+
+
+def extract_siren_weights(siren_params: Mapping[str, Any]) -> dict:
+    """Pull the kernel's weight dict out of a NeRFNetwork param subtree
+    (`cips3d_tpu.models.nerf_net.NeRFNetwork` with hidden_layers=2)."""
+    p = siren_params
+    return {
+        "w0": p["film_0"]["linear"]["kernel"],
+        "b0": p["film_0"]["linear"]["bias"],
+        "w1": p["film_1"]["linear"]["kernel"],
+        "b1": p["film_1"]["linear"]["bias"],
+        "wc": p["color_film"]["linear"]["kernel"],
+        "bc": p["color_film"]["linear"]["bias"],
+        "wr": p["color_linear"]["kernel"],
+        "br": p["color_linear"]["bias"],
+        "ws": p["sigma"]["kernel"],
+        "bs": p["sigma"]["bias"],
+    }
+
+
+def compute_films(
+    siren_params: Mapping[str, Any],
+    style_dict: Mapping[str, jnp.ndarray],
+    gain_scale: float = 15.0,
+    gain_bias: float = 30.0,
+) -> dict:
+    """Per-sample FiLM gain/bias vectors from styles (film_layer.py:78-107:
+    gain = gain_fc(style)*15 + 30).  The tiny style-FC matmuls run in XLA —
+    differentiably, so style gradients flow through them into the kernel's
+    film cotangents."""
+    p = siren_params
+
+    def fc(layer, style):
+        g = style @ layer["gain_fc"]["kernel"] + layer["gain_fc"]["bias"]
+        f = style @ layer["bias_fc"]["kernel"] + layer["bias_fc"]["bias"]
+        return g * gain_scale + gain_bias, f
+
+    g0, f0 = fc(p["film_0"], style_dict["nerf_w0"])
+    g1, f1 = fc(p["film_1"], style_dict["nerf_w1"])
+    gc, fcb = fc(p["color_film"], style_dict["nerf_rgb"])
+    return {"g0": g0, "f0": f0, "g1": g1, "f1": f1, "gc": gc, "fc": fcb}
 
 
 def _clamp(x, clamp_mode):
@@ -111,15 +152,17 @@ def _ray_tile_kernel(
         """FiLM-SIREN point MLP (film_layer.py:78-107): (N, 3) ->
         rgb (N, R) f32, sigma (N, 8) f32 (lane-padded, col 0 live)."""
         x = (p_flat * warp_scale).astype(mm_dtype)  # UniformBoxWarp
+        # sines compute in f32 and cast to mm_dtype for the next matmul:
+        # Mosaic cannot legalize bf16 transcendentals (math.sin/roundeven on
+        # bf16 vectors fail), so f32 is both the fast and the only option
         a0 = jnp.dot(x, w0_ref[:], preferred_element_type=f32) + b0_ref[0]
-        h0 = _sin(film(g0_ref) * a0 + film(f0_ref))
-        a1 = jnp.dot(h0.astype(mm_dtype), w1_ref[:], preferred_element_type=f32) + b1_ref[0]
-        h1 = _sin(film(g1_ref) * a1 + film(f1_ref))
-        h1m = h1.astype(mm_dtype)
+        h0m = _sin(film(g0_ref) * a0 + film(f0_ref)).astype(mm_dtype)
+        a1 = jnp.dot(h0m, w1_ref[:], preferred_element_type=f32) + b1_ref[0]
+        h1m = _sin(film(g1_ref) * a1 + film(f1_ref)).astype(mm_dtype)
         sig = jnp.dot(h1m, ws_ref[:], preferred_element_type=f32) + bs_ref[0]
         ac = jnp.dot(h1m, wc_ref[:], preferred_element_type=f32) + bc_ref[0]
-        hc = _sin(film(gc_ref) * ac + film(fc_ref))
-        rgb = jnp.dot(hc.astype(mm_dtype), wr_ref[:], preferred_element_type=f32) + br_ref[0]
+        hcm = _sin(film(gc_ref) * ac + film(fc_ref)).astype(mm_dtype)
+        rgb = jnp.dot(hcm, wr_ref[:], preferred_element_type=f32) + br_ref[0]
         return rgb, sig
 
     # ---- coarse pass -----------------------------------------------------
@@ -879,6 +922,9 @@ def _pallas_forward(
         ],
         grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pts * (3 * H + H * H + H * C + C * R + H)
             + 2 * b * n_pad * (2 * S) ** 2 * 4,

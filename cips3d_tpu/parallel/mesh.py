@@ -212,7 +212,30 @@ def host_barrier(name: str, timeout_s: float = 600.0) -> bool:
     client = distributed.global_state.client
     if client is None:
         return False
-    client.wait_at_barrier(name, int(timeout_s * 1000))
+    import time as _time
+
+    t0 = _time.time()
+    try:
+        client.wait_at_barrier(name, int(timeout_s * 1000))
+    except Exception as e:
+        # A hung/dead peer used to surface as an opaque RPC error after the
+        # full timeout; name the barrier, this process, and the wait time so
+        # the stuck host is identifiable from any one log.
+        raise RuntimeError(
+            f"host_barrier {name!r} failed after {_time.time() - t0:.0f}s "
+            f"(timeout {timeout_s:.0f}s) on process "
+            f"{jax.process_index()}/{jax.process_count()} — a peer likely "
+            f"died or is still compiling; check the other hosts' logs for "
+            f"the last barrier they reached"
+        ) from e
+    waited = _time.time() - t0
+    if waited > 0.25 * timeout_s:
+        print(
+            f"[mesh] host_barrier {name!r}: process {jax.process_index()} "
+            f"waited {waited:.0f}s of the {timeout_s:.0f}s budget — peers "
+            "are arriving dangerously late (compile-cache asymmetry?)",
+            flush=True,
+        )
     return True
 
 

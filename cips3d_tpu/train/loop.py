@@ -609,5 +609,28 @@ def _run_eval_and_checkpoint(
                 dataclasses.replace(opts, img_size=img_size),
                 os.path.join(ckpt_mgr.ckpt_dir, "resume"),
             )
-        except Exception as e:  # monitors must never kill training
-            print(f"monitor images failed: {e}", flush=True)
+            host_state["monitor_failures"] = 0
+        except Exception as e:  # monitors must never kill training …
+            # … but a one-line print hid the r256 monitor OOM for a whole
+            # campaign (round-2 postmortem).  Count consecutive failures,
+            # persist the count in the checkpointed host_state, write a
+            # loud marker file next to the checkpoints, and escalate to a
+            # hard error once it is clearly systematic.
+            n_fail = int(host_state.get("monitor_failures", 0)) + 1
+            host_state["monitor_failures"] = n_fail
+            import traceback
+
+            marker = os.path.join(ckpt_mgr.ckpt_dir, "MONITOR_FAILURES.log")
+            with open(marker, "a") as f:
+                f.write(f"step {step} (consecutive #{n_fail}):\n")
+                f.write(traceback.format_exc() + "\n")
+            print(
+                f"monitor images FAILED at step {step} "
+                f"(consecutive #{n_fail}, details in {marker}): {e}",
+                flush=True,
+            )
+            if n_fail >= 3:
+                raise RuntimeError(
+                    f"monitor images failed {n_fail} evals in a row — this "
+                    f"is systematic, not transient; see {marker}"
+                ) from e

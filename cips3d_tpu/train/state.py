@@ -49,6 +49,13 @@ class TrainConfig:
     ema_start_itr: int = 1000
     total_iters: int = 200000
     z_dist: str = "gaussian"
+    # Run the D-phase fake generation (stop-gradient, no backward) through
+    # the fused ray-tile Pallas kernel regardless of the generator's
+    # `fused_ray` training-path setting.  None = auto: on iff the generator
+    # uses fast_sin — with the sin bound removed the kernel's fused forward
+    # wins ~1.7x; with exact sin both paths are sin-bound and the kernel is
+    # a wash (5.56 vs 5.39 ms at r64 scale, BENCH_NOTES round 3).
+    fused_dphase: Any = None
 
 
 class TrainState(flax.struct.PyTreeNode):

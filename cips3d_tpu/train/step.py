@@ -103,11 +103,27 @@ def make_train_step(
             nerf_noise=nerf_noise_schedule(step, cfg.nerf_noise_disable),
         )
 
+    # D-phase fakes are generated under stop_gradient — no backward — so the
+    # fused ray-tile kernel is a pure forward win where the forward wins:
+    # with fast_sin (sin bound removed).  With exact sin both paths are
+    # sin-bound and the kernel is a wash, so `auto` (None) keeps XLA.  Params
+    # are identical between the two module configs (fused_ray is apply-only).
+    fused_dphase = (
+        generator.cfg.fast_sin if cfg.fused_dphase is None else cfg.fused_dphase
+    )
+    if fused_dphase and generator.cfg.nerf_hidden_layers == 2:
+        generator_d = GeneratorNerfINR(
+            cfg=dataclasses.replace(generator.cfg, fused_ray=True),
+            dtype=generator.dtype,
+        )
+    else:
+        generator_d = generator
+
     def d_loss_fn(d_params, g_params, real_imgs, step, alpha, key):
         k_z, k_g, k_da1, k_da2 = jax.random.split(key, 4)
         zs = sample_zs(k_z, real_imgs.shape[0], generator.cfg, cfg.z_dist)
         ropts = render_opts(step)
-        fake_imgs, _ = generator.apply(
+        fake_imgs, _ = generator_d.apply(
             g_params, zs, k_g, ropts, return_aux_img=aux_reg
         )
         fake_imgs = jax.lax.stop_gradient(fake_imgs)

@@ -156,6 +156,37 @@ def test_ray_shards_loop(data_zip, tmp_path):
     assert steps == [1, 2, 3, 4]
 
 
+def test_monitor_failure_escalation(data_zip, tmp_path, monkeypatch):
+    """Monitor failures are counted, logged to MONITOR_FAILURES.log, and
+    escalate to a hard error after 3 consecutive evals (a silent one-line
+    print hid an OOM for a whole campaign once)."""
+    import cips3d_tpu.train.loop as loop_mod
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic monitor failure")
+
+    monkeypatch.setattr(loop_mod, "save_monitor_images", boom)
+    outdir = str(tmp_path / "run_monfail")
+    tcfg = TrainConfig(
+        img_size=8, batch_size=2, grad_points=None, total_iters=3, ema_start_itr=1
+    )
+    opts = RenderOptions(img_size=8, num_steps=3)
+    lcfg = LoopConfig(
+        outdir=outdir, data_path=data_zip, log_every=1, eval_every=1,
+        num_images_real_eval=4, num_images_gen_eval=4, eval_batch_size=2,
+        fixed_z_bs=2, num_workers=1, dispatch_chunk=1,
+    )
+    with pytest.raises(RuntimeError, match="3 evals in a row"):
+        train(GCFG, tcfg, opts, lcfg,
+              disc_kwargs={"max_size": 16, "channels_override": TINY},
+              n_devices=1)
+    marker = os.path.join(outdir, "ckptdir", "MONITOR_FAILURES.log")
+    assert os.path.exists(marker)
+    content = open(marker).read()
+    assert "synthetic monitor failure" in content
+    assert "consecutive #3" in content
+
+
 def test_lazy_r1_schedule(tmp_path):
     """d_reg_every=2: R1 only on even steps (`train.py:387` lazy reg)."""
     from cips3d_tpu.data.zip_dataset import write_stylegan_zip
