@@ -158,22 +158,58 @@ def default_extractor() -> Callable:
     return surrogate_extractor()
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4)
 def surrogate_extractor(dim: int = 256, seed: int = 0) -> Callable:
-    """Cheap fixed feature map: downsample to 32x32, random projection of
-    pixels + gradient statistics.  Deterministic across runs."""
+    """Deterministic random-CNN feature statistics (relative tracking only).
+    Cached per (dim, seed) so the in-train eval reuses one jitted extractor
+    instead of recompiling the conv stack every eval.
+
+    Round 3 upgrade: the previous surrogate was a linear projection of
+    32x32 pixels — blind to texture, so mode collapse in high-frequency
+    content was invisible (round-2 VERDICT).  This one pushes 64x64 images
+    through 4 fixed random 3x3 stride-2 conv stages (leaky-relu), collects
+    per-channel mean+std at every scale (texture statistics), and projects
+    to ``dim`` features with a fixed random matrix.  Random-weight conv
+    features are a known serviceable FID proxy; the metric stays honestly
+    labelled FID_surrogate and its SCALE is not comparable to published FID
+    nor to pre-round-3 campaign logs (which used the pixel projection).
+    """
     rng = np.random.default_rng(seed)
-    proj = rng.standard_normal((32 * 32 * 3, dim)).astype(np.float32) / 55.4
+    widths = (32, 64, 128, 256)
+    filters = []
+    cin = 3
+    for w in widths:
+        f = rng.standard_normal((3, 3, cin, w)).astype(np.float32)
+        filters.append(f * np.sqrt(2.0 / (9 * cin)))
+        cin = w
+    raw_dim = 2 * sum(widths)
+    proj = rng.standard_normal((raw_dim, dim)).astype(np.float32) / np.sqrt(raw_dim)
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def feats(x):  # (b, 64, 64, 3) f32 in [0, 1]
+        stats = []
+        h = x
+        for f in filters:
+            h = lax.conv_general_dilated(
+                h, jnp.asarray(f), (2, 2), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            h = jax.nn.leaky_relu(h, 0.2)
+            stats.append(jnp.mean(h, axis=(1, 2)))
+            stats.append(jnp.std(h, axis=(1, 2)))
+        return jnp.concatenate(stats, axis=-1) @ jnp.asarray(proj)
 
     def extract(batch_u8: np.ndarray) -> np.ndarray:
-        import jax
-        import jax.image
-
-        x = batch_u8.astype(np.float32) / 255.0
-        import jax.numpy as jnp
-
-        xr = jax.image.resize(jnp.asarray(x), (x.shape[0], 32, 32, 3), method="bilinear")
-        flat = np.asarray(xr).reshape(x.shape[0], -1)
-        return flat @ proj
+        x = jnp.asarray(batch_u8.astype(np.float32) / 255.0)
+        xr = jax.image.resize(x, (x.shape[0], 64, 64, 3), method="bilinear")
+        return np.asarray(feats(xr))
 
     # metric produced with this extractor must never be mistaken for real FID
     extract.metric_name = "FID_surrogate"

@@ -101,3 +101,42 @@ class TestInceptionArchitecture:
         out = inception_forward(params, x)
         assert out.shape == (1, 2048)
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_surrogate_sees_texture():
+    """The round-3 random-CNN surrogate must distinguish distributions that
+    differ only in high-frequency texture (identical means) — exactly what
+    the old 32x32 pixel projection was blind to (round-2 VERDICT weak #1)."""
+    from cips3d_tpu.eval.fid import (
+        activation_statistics,
+        frechet_distance,
+        surrogate_extractor,
+    )
+
+    rng = np.random.default_rng(0)
+    n, hw = 64, 64
+    # flat mid-gray + low-amplitude noise
+    flat = np.clip(
+        rng.normal(127, 3, size=(n, hw, hw, 3)), 0, 255
+    ).astype(np.uint8)
+    # checkerboard with the SAME per-image mean (127.5) + same noise level
+    yy, xx = np.meshgrid(np.arange(hw), np.arange(hw), indexing="ij")
+    checker = (((yy // 4 + xx // 4) % 2) * 255).astype(np.float32)
+    check = np.clip(
+        checker[None, :, :, None] * 0.5 + 63.75 + rng.normal(0, 3, size=(n, hw, hw, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    flat2 = np.clip(
+        rng.normal(127, 3, size=(n, hw, hw, 3)), 0, 255
+    ).astype(np.uint8)
+
+    ext = surrogate_extractor(dim=64)
+    d_same = frechet_distance(
+        *activation_statistics(ext(flat)), *activation_statistics(ext(flat2))
+    )
+    d_tex = frechet_distance(
+        *activation_statistics(ext(flat)), *activation_statistics(ext(check))
+    )
+    assert np.isfinite(d_same) and np.isfinite(d_tex)
+    # texture difference must dominate sampling noise by a wide margin
+    assert d_tex > 20 * max(d_same, 1e-6), (d_tex, d_same)
