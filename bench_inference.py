@@ -33,7 +33,10 @@ def main(img_size=256, num_steps=12, frames=16):
     # BENCH_FUSED=0 for the XLA path.  (It supersedes round-2's forward-only
     # FiLM-SIREN kernel, retired after losing to the fixed XLA path.)
     fused_ray = os.environ.get("BENCH_FUSED", "1") == "1"
-    cfg = GeneratorConfig(fast_sin=fast_sin, fused_ray=fused_ray)
+    # fused CIPS-INR decoder kernel (ops/pallas/inr_tile.py); BENCH_FUSED_INR=0
+    # for the XLA INR
+    fused_inr = os.environ.get("BENCH_FUSED_INR", "1") == "1"
+    cfg = GeneratorConfig(fast_sin=fast_sin, fused_ray=fused_ray, fused_inr=fused_inr)
     gen = GeneratorNerfINR(cfg=cfg, dtype=jnp.bfloat16)
     opts = RenderOptions(img_size=img_size, num_steps=num_steps, h_stddev=0.0, v_stddev=0.0)
     key = jax.random.PRNGKey(0)

@@ -237,7 +237,9 @@ def main(argv=None):
     if not args.exact:
         import dataclasses
 
-        gen_cfg = dataclasses.replace(gen_cfg, fused_ray=True, fast_sin=True)
+        gen_cfg = dataclasses.replace(
+            gen_cfg, fused_ray=True, fused_inr=True, fast_sin=True
+        )
     from cips3d_tpu.eval.cli import load_generator
 
     gen, params = load_generator(args.ckpt, gen_cfg, args.module)

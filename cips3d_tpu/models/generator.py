@@ -69,6 +69,11 @@ class GeneratorConfig:
     # Pallas backward (custom VJP) for training.  1.4-1.5x the XLA path on
     # r256 inference (88.9 vs 60.8 fps); ~even at r64 training (BENCH_NOTES).
     fused_ray: bool = False
+    # Fused CIPS-INR decoder (ops/pallas/inr_tile.py): the whole 9-block
+    # modulated-FC chain per VMEM-resident pixel tile, modulation/demodulation
+    # precomputed per batch.  FORWARD-ONLY (no VJP — autodiff raises):
+    # serving path; training keeps the XLA INR.
+    fused_inr: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -315,7 +320,19 @@ class GeneratorNerfINR(nn.Module):
         pixels_fea = mesh_lib.constrain_pixels(pixels_fea)
         # Training path runs all nine INR blocks regardless of img_size
         # (`generator.py:1754` passes no img_size).
-        inr_img = self.inr_net(pixels_fea, style_dict)
+        if (
+            self.cfg.fused_inr
+            and self.cfg.inr_pre_rgb_dim == 3
+            and not self.is_initializing()
+        ):
+            from cips3d_tpu.ops.pallas.inr_tile import fused_inr_decode
+
+            inr_img = fused_inr_decode(
+                self.inr_net.variables["params"], style_dict, pixels_fea,
+                dtype=self.dtype,
+            )
+        else:
+            inr_img = self.inr_net(pixels_fea, style_dict)
         debug.trace("points_forward.inr_img", inr_img)
 
         # Always evaluate the (tiny) aux head so the param tree does not depend
