@@ -126,7 +126,10 @@ def _ray_tile_kernel(
     # outputs
     fea_ref,   # (1, T, R)  out dtype
     dep_ref,   # (1, 8, T)  f32 (depth broadcast across sublanes)
-    *,
+    # residual outputs (training fwd only — `with_residuals`):
+    #   rh (1, 2, S·T, 2H) mm · ra (1, 2, S·T, 2H) f32
+    #   rhc (1, 2, S·T, C) mm · rac (1, 2, S·T, C) f32   [pass 0=coarse, 1=fine]
+    *res_refs,
     S: int,
     warp_scale: float,
     clamp_mode: str,
@@ -150,7 +153,8 @@ def _ray_tile_kernel(
 
     def mlp(p_flat):
         """FiLM-SIREN point MLP (film_layer.py:78-107): (N, 3) ->
-        rgb (N, R) f32, sigma (N, 8) f32 (lane-padded, col 0 live)."""
+        rgb (N, R) f32, sigma (N, 8) f32 (lane-padded, col 0 live), plus the
+        pre-activations/hidden states the residual-passing backward saves."""
         x = (p_flat * warp_scale).astype(mm_dtype)  # UniformBoxWarp
         # sines compute in f32 and cast to mm_dtype for the next matmul:
         # Mosaic cannot legalize bf16 transcendentals (math.sin/roundeven on
@@ -163,11 +167,21 @@ def _ray_tile_kernel(
         ac = jnp.dot(h1m, wc_ref[:], preferred_element_type=f32) + bc_ref[0]
         hcm = _sin(film(gc_ref) * ac + film(fc_ref)).astype(mm_dtype)
         rgb = jnp.dot(hcm, wr_ref[:], preferred_element_type=f32) + br_ref[0]
-        return rgb, sig
+        return rgb, sig, dict(a0=a0, h0m=h0m, a1=a1, h1m=h1m, ac=ac, hcm=hcm)
+
+    def save_residuals(pi, st):
+        if not res_refs:
+            return
+        rh_ref, ra_ref, rhc_ref, rac_ref = res_refs
+        rh_ref[0, pi] = jnp.concatenate([st["h0m"], st["h1m"]], axis=1)
+        ra_ref[0, pi] = jnp.concatenate([st["a0"], st["a1"]], axis=1)
+        rhc_ref[0, pi] = st["hcm"]
+        rac_ref[0, pi] = st["ac"]
 
     # ---- coarse pass -----------------------------------------------------
     pts = pts_ref[0]                                    # (S, T, 3)
-    rgb_c, sig_c8 = mlp(pts.reshape(S * T, 3))
+    rgb_c, sig_c8, st_c = mlp(pts.reshape(S * T, 3))
+    save_residuals(0, st_c)
     sig_c = sig_c8.reshape(S, T, 8)[..., 0]             # (S, T) f32
     z = z_ref[0]                                        # (S, T) f32, S-sorted
 
@@ -215,7 +229,8 @@ def _ray_tile_kernel(
     org_t = org_ref[0]                                  # (T, 3)
     dir_t = dir_ref[0]
     fine_pts = org_t[None] + dir_t[None] * fine_z[..., None]  # (S, T, 3)
-    rgb_f, sig_f8 = mlp(fine_pts.reshape(S * T, 3))
+    rgb_f, sig_f8, st_f = mlp(fine_pts.reshape(S * T, 3))
+    save_residuals(1, st_f)
     sig_f = sig_f8.reshape(S, T, 8)[..., 0]
 
     # ---- sort-free compositing over [fine, coarse] arrival order ---------
@@ -378,13 +393,13 @@ def _ray_tile_bwd_kernel(
     # cotangents
     dfea_ref,   # (1, T, R)  out dtype
     ddep_ref,   # (1, 1, T)  f32
-    # gradient outputs (VMEM accumulators; wt order, then per-tile tensors)
-    dw0_ref, db0_ref, dg0_ref, df0_ref,
-    dw1_ref, db1_ref, dg1_ref, df1_ref,
-    dwc_ref, dbc_ref, dgc_ref, dfc_ref,
-    dwr_ref, dbr_ref, dws_ref, dbs_ref,
-    dpts_ref,   # (1, S, T, 3) f32 — COARSE points only (fine are detached)
-    *,
+    # then EITHER 17 gradient-output refs (recompute mode) OR 4 residual
+    # input refs (rh, ra, rhc, rac — from the with_residuals forward)
+    # followed by the same 17 outputs (residual mode):
+    #   dw0, db0, dg0, df0, dw1, db1, dg1, df1, dwc, dbc, dgc, dfc,
+    #   dwr, dbr, dws, dbs (VMEM accumulators, wt order), dpts (per tile —
+    #   COARSE points only; fine points are detached)
+    *rest,
     S: int,
     warp_scale: float,
     clamp_mode: str,
@@ -402,6 +417,16 @@ def _ray_tile_bwd_kernel(
     fine points are fully detached — so origins/dirs/z/u/noise get ZERO
     cotangents (matching the reference; camera gradients flow through the
     differentiable coarse `pts` input, which does get its exact grad)."""
+    if len(rest) == 21:     # residual mode: 4 inputs precede the 17 outputs
+        rh_ref, ra_ref, rhc_ref, rac_ref = rest[:4]
+        out_refs = rest[4:]
+    else:
+        rh_ref = ra_ref = rhc_ref = rac_ref = None
+        out_refs = rest
+    (dw0_ref, db0_ref, dg0_ref, df0_ref,
+     dw1_ref, db1_ref, dg1_ref, df1_ref,
+     dwc_ref, dbc_ref, dgc_ref, dfc_ref,
+     dwr_ref, dbr_ref, dws_ref, dbs_ref, dpts_ref) = out_refs
     if fast_sin:
         from cips3d_tpu.ops.fast_sin import fast_sin as _sin
         from cips3d_tpu.ops.fast_sin import fast_sin_grad as _sin_grad
@@ -487,8 +512,27 @@ def _ray_tile_bwd_kernel(
         return d_x * warp_scale
 
     # ---- recompute forward (mirrors _ray_tile_kernel exactly) ------------
+    # In residual mode the MLP states come from the forward's saved
+    # h/pre-activation tensors (no sine recompute); only the cheap
+    # sigma/rgb head matmuls and the (sine-free) resample re-run.
+    H = w0_ref.shape[1]
+
+    def load_state(pi, p_flat):
+        hh = rh_ref[0, pi]                                # (S*T, 2H) mm
+        aa = ra_ref[0, pi]                                # (S*T, 2H) f32
+        h1m = hh[:, H:]
+        hcm = rhc_ref[0, pi]
+        return dict(
+            x=(p_flat * warp_scale).astype(mm_dtype),
+            a0=aa[:, :H], h0m=hh[:, :H], a1=aa[:, H:], h1m=h1m,
+            ac=rac_ref[0, pi], hcm=hcm,
+            sig=jnp.dot(h1m, ws_ref[:], preferred_element_type=f32) + bs_ref[0],
+            rgb=jnp.dot(hcm, wr_ref[:], preferred_element_type=f32) + br_ref[0],
+        )
+
     pts = pts_ref[0]
-    sc_state = mlp_fwd(pts.reshape(S * T, 3))
+    p_flat_c = pts.reshape(S * T, 3)
+    sc_state = mlp_fwd(p_flat_c) if rh_ref is None else load_state(0, p_flat_c)
     sig_c = sc_state["sig"].reshape(S, T, 8)[..., 0]
     rgb_c = sc_state["rgb"]
     z = z_ref[0]
@@ -523,7 +567,8 @@ def _ray_tile_bwd_kernel(
     denom = jnp.where(denom < 1e-5, 1.0, denom)
     fine_z = zm_b + (u - cdf_b) / denom * (zm_a - zm_b)
     fine_pts = org_ref[0][None] + dir_ref[0][None] * fine_z[..., None]
-    sf_state = mlp_fwd(fine_pts.reshape(S * T, 3))
+    p_flat_f = fine_pts.reshape(S * T, 3)
+    sf_state = mlp_fwd(p_flat_f) if rh_ref is None else load_state(1, p_flat_f)
     sig_f = sf_state["sig"].reshape(S, T, 8)[..., 0]
 
     m = 2 * S
@@ -598,10 +643,12 @@ def _ray_tile_bwd_kernel(
 def _pallas_backward(
     wt, pts, org, dirs, z_sq, u, nc, nf, ns, d_fea, d_dep,
     *, tile, interpret, clamp_mode, white_back, last_back, use_noise,
-    fast_sin, mm_dtype, warp_scale, out_dtype,
+    fast_sin, mm_dtype, warp_scale, out_dtype, residuals=None,
 ):
-    """Invoke the backward kernel; returns (d_wt tuple, d_pts, d_org, d_dirs)
-    in the unpadded ray-major layouts of the primal inputs."""
+    """Invoke the backward kernel; returns (d_wt tuple, d_pts) in the
+    unpadded ray-major layouts of the primal inputs.  ``residuals``
+    (rh, ra, rhc, rac from the with_residuals forward) switches the kernel
+    to residual mode — no MLP recompute, XLA-parity 2x total sine count."""
     w0, b0, g0, f0, w1, b1, g1, f1, wc, bc, gc, fc, wr, br, ws, bs = wt
     b, n, S, _ = pts.shape
     f32 = jnp.float32
@@ -652,7 +699,12 @@ def _pallas_backward(
             vspec((H, 8), fixed), vspec((1, 8), fixed),
             vspec((1, tile, R), ray_idx),
             vspec((1, 1, tile), smj_idx),
-        ],
+        ] + ([
+            vspec((1, 2, S * tile, 2 * H), lambda bi, ti: (bi, 0, ti, 0)),
+            vspec((1, 2, S * tile, 2 * H), lambda bi, ti: (bi, 0, ti, 0)),
+            vspec((1, 2, S * tile, C), lambda bi, ti: (bi, 0, ti, 0)),
+            vspec((1, 2, S * tile, C), lambda bi, ti: (bi, 0, ti, 0)),
+        ] if residuals is not None else []),
         out_specs=[
             vspec((3, H), fixed), vspec((1, H), fixed), full, full,
             vspec((H, H), fixed), vspec((1, H), fixed), full, full,
@@ -695,6 +747,7 @@ def _pallas_backward(
         mm(wr), br,
         mm(ws), bs,
         dfea_p, ddep_p,
+        *(residuals if residuals is not None else ()),
     )
     d_wt = tuple(outs[:16])
     d_pts = jnp.swapaxes(outs[16], 1, 2)[:, :n]
@@ -708,8 +761,12 @@ def _make_core(
 ):
     """custom_vjp core: Pallas forward; backward per `vjp_impl` —
     'pallas' = the hand-written recompute kernel (_ray_tile_bwd_kernel),
+    'pallas_residual' = the forward saves hidden states/pre-activations to
+    HBM and the backward consumes them (no MLP recompute — XLA-parity 2x
+    total sine count; the residual traffic is the trade, so this variant
+    wins for exact-sin training while 'pallas' wins under fast_sin),
     'jnp' = `jax.vjp` of the jnp mirror (reference implementation, used to
-    validate the kernel).  Cached per static configuration so jit tracing
+    validate the kernels).  Cached per static configuration so jit tracing
     reuses one callable."""
     mm_dtype = jnp.dtype(mm_name)
     out_dtype = jnp.dtype(out_name)
@@ -731,6 +788,13 @@ def _make_core(
     def fwd(*args):
         return f(*args), args
 
+    def fwd_residual(*args):
+        out, residuals = _pallas_forward(
+            *args, tile=tile, interpret=interpret, with_residuals=True,
+            **statics,
+        )
+        return out, (args, residuals)
+
     def bwd_jnp(res, cot):
         # Re-run the jnp mirror under jax.vjp: full, exact cotangents for
         # every input (resample stays stop-gradient, matching the reference).
@@ -751,7 +815,27 @@ def _make_core(
             jnp.zeros_like, (org, dirs, z, u, nc, nf, ns))
         return (d_wt, d_pts) + zeros
 
-    core.defvjp(fwd, bwd_jnp if vjp_impl == "jnp" else bwd_pallas)
+    def bwd_residual(res, cot):
+        args, residuals = res
+        wt, pts, org, dirs, z, u, nc, nf, ns = args
+        d_fea, d_dep = cot
+        d_wt, d_pts = _pallas_backward(
+            wt, pts, org, dirs, z, u, nc, nf, ns,
+            d_fea.astype(out_dtype), d_dep.astype(jnp.float32),
+            tile=tile, interpret=interpret, residuals=residuals, **statics,
+        )
+        zeros = jax.tree_util.tree_map(
+            jnp.zeros_like, (org, dirs, z, u, nc, nf, ns))
+        return (d_wt, d_pts) + zeros
+
+    if vjp_impl == "jnp":
+        core.defvjp(fwd, bwd_jnp)
+    elif vjp_impl == "pallas_residual":
+        # residual blocks are tiled by the FORWARD tile; the backward must
+        # read them with the same tiling, so tile_bwd is ignored here
+        core.defvjp(fwd_residual, bwd_residual)
+    else:
+        core.defvjp(fwd, bwd_pallas)
     return core
 
 
@@ -835,9 +919,14 @@ def fused_ray_render(
 def _pallas_forward(
     wt, pts, org, dirs, z_sq, u, nc, nf, ns,
     *, tile, interpret, clamp_mode, white_back, last_back, use_noise,
-    fast_sin, mm_dtype, warp_scale, out_dtype,
+    fast_sin, mm_dtype, warp_scale, out_dtype, with_residuals=False,
 ):
-    """Invoke the s-major ray-tile kernel on (b, n, ...) f32 arrays."""
+    """Invoke the s-major ray-tile kernel on (b, n, ...) f32 arrays.
+
+    ``with_residuals`` (training forward under the residual-passing VJP)
+    additionally returns the per-pass hidden states / pre-activations
+    (rh, ra, rhc, rac) so the backward kernel skips the MLP recompute —
+    total sine count matches XLA's fwd+bwd (2x) instead of 3x."""
     w0, b0, g0, f0, w1, b1, g1, f1, wc, bc, gc, fc, wr, br, ws, bs = wt
     b, n, S, _ = pts.shape
     f32 = jnp.float32
@@ -899,7 +988,12 @@ def _pallas_forward(
         out_specs=[
             vspec((1, tile, R), ray_idx),
             vspec((1, 8, tile), smj_idx),
-        ],
+        ] + ([
+            vspec((1, 2, S * tile, 2 * H), lambda bi, ti: (bi, 0, ti, 0)),
+            vspec((1, 2, S * tile, 2 * H), lambda bi, ti: (bi, 0, ti, 0)),
+            vspec((1, 2, S * tile, C), lambda bi, ti: (bi, 0, ti, 0)),
+            vspec((1, 2, S * tile, C), lambda bi, ti: (bi, 0, ti, 0)),
+        ] if with_residuals else []),
     )
 
     kernel = functools.partial(
@@ -914,12 +1008,21 @@ def _pallas_forward(
         mm_dtype=mm_dtype,
     )
     n_pts = b * n_pad * 2 * S
-    fea, dep = pl.pallas_call(
+    sds = jax.ShapeDtypeStruct
+    out_shape = [
+        sds((b, n_pad, R), dtype),
+        sds((b, 8, n_pad), f32),
+    ]
+    if with_residuals:
+        out_shape += [
+            sds((b, 2, S * n_pad, 2 * H), mm_dtype),
+            sds((b, 2, S * n_pad, 2 * H), f32),
+            sds((b, 2, S * n_pad, C), mm_dtype),
+            sds((b, 2, S * n_pad, C), f32),
+        ]
+    outs = pl.pallas_call(
         kernel,
-        out_shape=[
-            jax.ShapeDtypeStruct((b, n_pad, R), dtype),
-            jax.ShapeDtypeStruct((b, 8, n_pad), f32),
-        ],
+        out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -939,4 +1042,8 @@ def _pallas_forward(
         mm(wr), br,
         mm(ws), bs,
     )
-    return fea[:, :n], jnp.swapaxes(dep[:, :1, :n], 1, 2)
+    fea, dep = outs[0], outs[1]
+    result = (fea[:, :n], jnp.swapaxes(dep[:, :1, :n], 1, 2))
+    if with_residuals:
+        return result, tuple(outs[2:])
+    return result

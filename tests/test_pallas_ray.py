@@ -153,7 +153,7 @@ def _assert_grads_close(a, b, tol=1e-4, msg=""):
     assert err < tol, f"{msg}: normalized grad err {err:.3e} (scale {scale:.3e})"
 
 
-@pytest.mark.parametrize("impl", ["jnp", "pallas"])
+@pytest.mark.parametrize("impl", ["jnp", "pallas", "pallas_residual"])
 def test_grad_parity(setup, impl):
     """d(siren params), d(styles) through the fused path must match the XLA
     path (custom VJP; resample stop-gradient both sides) — for both the
@@ -183,7 +183,7 @@ def test_grad_parity(setup, impl):
         _assert_grads_close(gs_f[k], gs_x[k], msg=k)
 
 
-@pytest.mark.parametrize("impl", ["jnp", "pallas"])
+@pytest.mark.parametrize("impl", ["jnp", "pallas", "pallas_residual"])
 def test_grad_parity_noise(setup, impl):
     """Gradients with the density-noise schedule active (traced noise_std)."""
     siren, params, styles, pts, origins, dirs, z_vals = setup
@@ -289,13 +289,14 @@ def test_grad_parity_variants_pallas_bwd(setup, kwargs):
         )
         return jnp.sum(fea * fea)
 
-    gp = jax.grad(lambda p: loss(p, "pallas"))(params)
     gj = jax.grad(lambda p: loss(p, "jnp"))(params)
-    for (path, a), (_, b) in zip(
-        jax.tree_util.tree_leaves_with_path(gp),
-        jax.tree_util.tree_leaves_with_path(gj),
-    ):
-        _assert_grads_close(a, b, msg=jax.tree_util.keystr(path))
+    for impl in ("pallas", "pallas_residual"):
+        gp = jax.grad(lambda p: loss(p, impl))(params)
+        for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(gp),
+            jax.tree_util.tree_leaves_with_path(gj),
+        ):
+            _assert_grads_close(a, b, msg=f"{impl}:{jax.tree_util.keystr(path)}")
 
 
 def test_camera_grads_pallas_bwd(setup):
@@ -312,6 +313,7 @@ def test_camera_grads_pallas_bwd(setup):
         return jnp.sum(fea * fea)
 
     for argnum, name in [(0, "pts"), (1, "origins"), (2, "dirs")]:
-        ga = jax.grad(lambda *a: loss(*a, "pallas"), argnums=argnum)(pts, origins, dirs)
         gb = jax.grad(lambda *a: loss(*a, "jnp"), argnums=argnum)(pts, origins, dirs)
-        _assert_grads_close(ga, gb, msg=name)
+        for impl in ("pallas", "pallas_residual"):
+            ga = jax.grad(lambda *a: loss(*a, impl), argnums=argnum)(pts, origins, dirs)
+            _assert_grads_close(ga, gb, msg=f"{impl}:{name}")
