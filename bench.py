@@ -40,9 +40,19 @@ def main():
         # G-phase fused a wash-to-slight-loss, while the D phase picks the
         # kernel automatically under fast_sin (TrainConfig.fused_dphase).
         fused_ray=os.environ.get("BENCH_FUSED", "0") == "1",
+        # BENCH_VJP=pallas_residual selects the residual-passing backward
+        # (forward saves hidden states/pre-activations; XLA-parity 2x sine
+        # count) instead of the in-VMEM recompute backward.
+        fused_ray_vjp=os.environ.get("BENCH_VJP", "pallas"),
     )
     opts = RenderOptions(img_size=img_size, num_steps=12)
-    tcfg = TrainConfig(img_size=img_size, batch_size=batch)
+    tcfg = TrainConfig(
+        img_size=img_size,
+        batch_size=batch,
+        # BENCH_DPHASE_INR=1 routes the D-phase fake INR decode through the
+        # fused CIPS-INR kernel (forward-only; candidate HBM-traffic win).
+        fused_dphase_inr=os.environ.get("BENCH_DPHASE_INR", "0") == "1",
+    )
 
     gen = GeneratorNerfINR(cfg=gcfg, dtype=jnp.bfloat16)
     disc = DiscriminatorMultiScaleAux(max_size=1024, dtype=jnp.bfloat16)

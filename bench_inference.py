@@ -85,4 +85,5 @@ def main(img_size=256, num_steps=12, frames=16):
 
 
 if __name__ == "__main__":
-    main()
+    # optional: img_size [num_steps [frames]] positional overrides
+    main(*(int(a) for a in sys.argv[1:4]))

@@ -69,6 +69,12 @@ class GeneratorConfig:
     # Pallas backward (custom VJP) for training.  1.4-1.5x the XLA path on
     # r256 inference (88.9 vs 60.8 fps); ~even at r64 training (BENCH_NOTES).
     fused_ray: bool = False
+    # Backward implementation for the fused ray-tile kernel: 'pallas'
+    # (in-VMEM forward recompute — cheapest HBM traffic, 3x total sine
+    # count so it wins under fast_sin) or 'pallas_residual' (the forward
+    # saves hidden states/pre-activations, the backward consumes them —
+    # XLA-parity 2x sine count, the exact-sin training variant).
+    fused_ray_vjp: str = "pallas"
     # Fused CIPS-INR decoder (ops/pallas/inr_tile.py): the whole 9-block
     # modulated-FC chain per VMEM-resident pixel tile, modulation/demodulation
     # precomputed per batch.  FORWARD-ONLY (no VJP — autodiff raises):
@@ -237,6 +243,7 @@ class GeneratorNerfINR(nn.Module):
                 noise_std=opts.nerf_noise, clamp_mode=opts.clamp_mode,
                 white_back=opts.white_back, last_back=opts.last_back,
                 dtype=self.dtype, fast_sin=self.cfg.fast_sin,
+                vjp_impl=self.cfg.fused_ray_vjp,
             )
             if self.cfg.freeze_nerf:
                 pixels_fea = jax.lax.stop_gradient(pixels_fea)

@@ -56,6 +56,12 @@ class TrainConfig:
     # wins ~1.7x; with exact sin both paths are sin-bound and the kernel is
     # a wash (5.56 vs 5.39 ms at r64 scale, BENCH_NOTES round 3).
     fused_dphase: Any = None
+    # Run the D-phase fake generation's INR decode through the fused
+    # CIPS-INR Pallas kernel (ops/pallas/inr_tile.py — forward-only, which
+    # is exactly what the stop-gradient D-phase forward needs).  Off by
+    # default until measured on-chip; candidate win is the ~20 HBM round
+    # trips of the (pixels, 512) activation that the XLA chain pays.
+    fused_dphase_inr: bool = False
 
 
 class TrainState(flax.struct.PyTreeNode):

@@ -111,9 +111,16 @@ def make_train_step(
     fused_dphase = (
         generator.cfg.fast_sin if cfg.fused_dphase is None else cfg.fused_dphase
     )
+    d_cfg_overrides = {}
     if fused_dphase and generator.cfg.nerf_hidden_layers == 2:
+        d_cfg_overrides["fused_ray"] = True
+    if cfg.fused_dphase_inr and generator.cfg.inr_pre_rgb_dim == 3:
+        # forward-only fused INR decode: fine here because the D-phase
+        # fakes are stop-gradient (no backward reaches the kernel)
+        d_cfg_overrides["fused_inr"] = True
+    if d_cfg_overrides:
         generator_d = GeneratorNerfINR(
-            cfg=dataclasses.replace(generator.cfg, fused_ray=True),
+            cfg=dataclasses.replace(generator.cfg, **d_cfg_overrides),
             dtype=generator.dtype,
         )
     else:

@@ -213,7 +213,8 @@ def test_grad_parity_noise(setup, impl):
 
 
 def test_generator_train_grads():
-    """jax.grad through the full generator with fused_ray on == off (f32)."""
+    """jax.grad through the full generator: fused_ray off == on, for both
+    backward implementations selected via GeneratorConfig.fused_ray_vjp."""
     from cips3d_tpu.models.generator import (
         GeneratorConfig, GeneratorNerfINR, RenderOptions, sample_zs,
     )
@@ -228,8 +229,13 @@ def test_generator_train_grads():
     zs = sample_zs(key, 2, GeneratorConfig(**kwargs))
 
     grads = {}
-    for fused in (False, True):
-        gen = GeneratorNerfINR(cfg=GeneratorConfig(fused_ray=fused, **kwargs))
+    configs = {
+        "xla": dict(fused_ray=False),
+        "pallas": dict(fused_ray=True, fused_ray_vjp="pallas"),
+        "residual": dict(fused_ray=True, fused_ray_vjp="pallas_residual"),
+    }
+    for name, extra in configs.items():
+        gen = GeneratorNerfINR(cfg=GeneratorConfig(**extra, **kwargs))
         params = gen.init(jax.random.PRNGKey(1), zs, jax.random.PRNGKey(2), opts)
 
         def loss(p):
@@ -237,12 +243,14 @@ def test_generator_train_grads():
                                  return_aux_img=True)
             return jnp.sum(img * img) + jnp.sum(aux * aux)
 
-        grads[fused] = jax.grad(loss)(params)
-    for (path, a), (_, b) in zip(
-        jax.tree_util.tree_leaves_with_path(grads[True]),
-        jax.tree_util.tree_leaves_with_path(grads[False]),
-    ):
-        _assert_grads_close(a, b, tol=3e-4, msg=jax.tree_util.keystr(path))
+        grads[name] = jax.grad(loss)(params)
+    for name in ("pallas", "residual"):
+        for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(grads[name]),
+            jax.tree_util.tree_leaves_with_path(grads["xla"]),
+        ):
+            _assert_grads_close(
+                a, b, tol=3e-4, msg=f"{name}{jax.tree_util.keystr(path)}")
 
 
 def test_generator_level_parity():

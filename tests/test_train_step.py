@@ -137,3 +137,26 @@ class TestClipGuard:
         g = {"w": jnp.ones(4) * 0.1}
         clipped, _, _ = clip_and_guard(g, 10.0)
         np.testing.assert_allclose(np.asarray(clipped["w"]), 0.1, rtol=1e-5)
+
+
+def test_fused_dphase_inr_matches():
+    """TrainConfig.fused_dphase_inr routes the D-phase fake generation's INR
+    decode through the fused Pallas kernel (forward-only — legal because the
+    D-phase fakes are stop-gradient); the step must produce the same metrics
+    as the XLA path on the same keys."""
+    gen = GeneratorNerfINR(cfg=GCFG)
+    disc = DiscriminatorMultiScaleAux(max_size=32, channels_override=TINY)
+    opts = RenderOptions(img_size=32, num_steps=3)
+    real = jax.random.uniform(jax.random.PRNGKey(1), (2, 3, 32, 32)) * 2 - 1
+    metrics = {}
+    for fused in (False, True):
+        tcfg = dataclasses.replace(
+            TCFG, img_size=32, fused_dphase_inr=fused
+        )
+        state = init_train_state(jax.random.PRNGKey(0), gen, disc, tcfg, opts)
+        step_fn = jax.jit(make_train_step(gen, disc, tcfg, opts, aux_reg=False))
+        _, metrics[fused] = step_fn(state, real, jax.random.PRNGKey(2))
+    for k in ("d_loss", "g_loss", "d_logits_fake"):
+        a, b = float(metrics[True][k]), float(metrics[False][k])
+        assert np.isfinite(a), k
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-4, err_msg=k)

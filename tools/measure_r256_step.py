@@ -12,6 +12,7 @@ vs 288 ms/step device time for the identical single-dispatch step — see
 BENCH_NOTES.md round-2 second pass).
 """
 
+import os
 import sys
 import time
 
@@ -42,6 +43,8 @@ def main():
         diffaug=True,
         warmup_d=True,
         nerf_noise_disable=True,
+        # BENCH_DPHASE_INR=1: fused CIPS-INR kernel for the D-phase fakes
+        fused_dphase_inr=os.environ.get("BENCH_DPHASE_INR", "0") == "1",
     )
 
     gen = GeneratorNerfINR(cfg=gcfg, dtype=jnp.bfloat16)

@@ -27,6 +27,10 @@ def main():
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--fast-sin", action="store_true",
                    help="profile the bench configuration (polynomial sine)")
+    p.add_argument("--stage-r256", action="store_true",
+                   help="profile the shipped r256 training stage instead of "
+                        "the flagship config: freeze-NeRF + diffaug + "
+                        "warmup_d, aux off (configs/ffhq.yaml train_r256)")
     args = p.parse_args()
 
     from cips3d_tpu.models.discriminator import DiscriminatorMultiScaleAux
@@ -34,16 +38,27 @@ def main():
     from cips3d_tpu.train.state import TrainConfig
     from cips3d_tpu.train.step import init_train_state, make_train_step
 
-    gcfg = GeneratorConfig(fast_sin=args.fast_sin)
+    if args.stage_r256:
+        args.img_size = 256
+        gcfg = GeneratorConfig(freeze_nerf=True, fast_sin=True)
+        tcfg = TrainConfig(
+            img_size=256, batch_size=args.batch, gen_lr=1e-4, disc_lr=5e-4,
+            train_aux_img=False, diffaug=True, warmup_d=True,
+            nerf_noise_disable=True,
+        )
+        aux_reg = False
+    else:
+        gcfg = GeneratorConfig(fast_sin=args.fast_sin)
+        tcfg = TrainConfig(img_size=args.img_size, batch_size=args.batch)
+        aux_reg = True
     opts = RenderOptions(img_size=args.img_size, num_steps=12)
-    tcfg = TrainConfig(img_size=args.img_size, batch_size=args.batch)
     gen = GeneratorNerfINR(cfg=gcfg, dtype=jnp.bfloat16)
     disc = DiscriminatorMultiScaleAux(max_size=1024, dtype=jnp.bfloat16)
 
     key = jax.random.PRNGKey(0)
     print("init...", file=sys.stderr)
     state = init_train_state(key, gen, disc, tcfg, opts)
-    step_fn = jax.jit(make_train_step(gen, disc, tcfg, opts, aux_reg=True),
+    step_fn = jax.jit(make_train_step(gen, disc, tcfg, opts, aux_reg=aux_reg),
                       donate_argnums=(0,))
     real = jax.random.uniform(key, (args.batch, 3, args.img_size, args.img_size)) * 2 - 1
 
