@@ -158,6 +158,46 @@ class TestShardedTrainStep:
         new_leaf = np.asarray(jax.tree_util.tree_leaves(new_state.g_params)[0])
         np.testing.assert_allclose(new_leaf, ref_leaf, rtol=1e-3, atol=1e-4)
 
+    def test_fused_ray_step_matches_under_mesh(self, setup):
+        """The fused ray-tile kernel (both VJP implementations) running
+        under the data mesh reproduces the single-device XLA step —
+        prerequisite for flipping any fused variant to a multi-chip
+        training default."""
+        gen, disc, _, _ = setup
+        cfg = TrainConfig(img_size=8, batch_size=4, grad_points=None)
+        key = jax.random.PRNGKey(0)
+        step_key = jax.random.PRNGKey(2)
+        batch = jax.random.uniform(jax.random.PRNGKey(1), (4, 3, 8, 8)) * 2 - 1
+
+        mesh1 = make_mesh(1)
+        state = init_train_state(key, gen, disc, cfg, OPTS)
+        with mesh1:
+            s1 = jax.device_put(state, replicated(mesh1))
+            _, ref = jax.jit(
+                make_train_step(gen, disc, cfg, OPTS, aux_reg=False),
+                donate_argnums=(0,),
+            )(s1, batch, step_key)
+        ref = {k: float(v) for k, v in ref.items()}
+
+        mesh = make_mesh(4)
+        for impl in ("pallas", "pallas_residual"):
+            gen_f = GeneratorNerfINR(
+                cfg=dataclasses.replace(GCFG, fused_ray=True, fused_ray_vjp=impl)
+            )
+            state_f = init_train_state(key, gen_f, disc, cfg, OPTS)
+            step = shard_train_step(
+                make_train_step(gen_f, disc, cfg, OPTS, aux_reg=False), mesh
+            )
+            with mesh:
+                s4 = jax.device_put(state_f, replicated(mesh))
+                b = shard_batch(np.asarray(batch), mesh)
+                _, metrics = step(s4, b, step_key)
+            for k in ("d_loss", "g_loss", "d_logits_fake"):
+                np.testing.assert_allclose(
+                    float(metrics[k]), ref[k], rtol=3e-3, atol=3e-4,
+                    err_msg=f"{impl}: metric {k}",
+                )
+
     def test_graft_dryrun(self):
         import sys
 

@@ -116,3 +116,64 @@ def test_recipe_two_stages_end_to_end(tmp_path, monkeypatch):
     cli.main(["--config", YAML, "--command", "train_r64", "--debug", "--opts", *opts])
     assert seen["finetune_dir"] == "results/ffhq/train_r32/ckptdir/best_fid"
     assert (tmp_path / "results/ffhq/train_r64/ckptdir/resume").is_dir()
+
+
+FINETUNE_YAML = os.path.join(
+    os.path.dirname(__file__), "..", "configs", "finetune.yaml"
+)
+
+
+def test_finetune_recipe_consistency():
+    """The dataset-transfer recipes (`exp/cips3d/configs/finetune_afhq.yaml`,
+    `finetuning_exp.yaml`) start from the FFHQ r256 snapshot with the
+    reference's finetune semantics: freeze-NeRF, diffaug, aux off, NO D
+    warmup (the pretrained D starts at full alpha — unlike train_r256),
+    NeRF noise off, lr 1e-4/5e-4."""
+    for cmd in ("finetune_afhq", "finetune_afhq_cat", "finetune_photo2cartoon"):
+        cfg = resolve_command(FINETUNE_YAML, cmd)
+        g = cfg.generator.to_dict()
+        assert g["freeze_nerf"] is True, cmd
+        assert cfg.get("load_finetune") is True and cfg.get("load_nerf_ema") is True
+        assert cfg["finetune_dir"] == "results/ffhq/train_r256/ckptdir/best_fid"
+        assert cfg.get("warmup_d") is False          # finetune_afhq.yaml:97
+        assert cfg.get("diffaug") is True and cfg.get("train_aux_img") is False
+        assert cfg.get("nerf_noise_disable") is True
+        assert cfg.get("gen_lr") == 1e-4 and cfg.get("disc_lr") == 5e-4
+        assert cfg["img_size"] == 256 and cfg.get("d_reg_every") == 1
+        kwargs = cli.train_kwargs_from_config(cfg)
+        assert kwargs["finetune_dir"] == cfg["finetune_dir"]
+        assert kwargs["load_nerf_ema"] is True
+
+
+@pytest.mark.slow
+def test_finetune_end_to_end(tmp_path, monkeypatch):
+    """Finetune from a (tiny) pretrained snapshot: pretrain via the FFHQ r32
+    debug stage, then run finetune_afhq on a different dataset pointing
+    finetune_dir at that snapshot — the loop must load it and train."""
+    from cips3d_tpu.data.zip_dataset import write_stylegan_zip
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(0)
+    ffhq = str(tmp_path / "ffhq.zip")
+    afhq = str(tmp_path / "afhq.zip")
+    for path, seed in ((ffhq, 0), (afhq, 1)):
+        r = np.random.default_rng(seed)
+        write_stylegan_zip(
+            path, [r.integers(0, 255, (8, 8, 3), dtype=np.uint8) for _ in range(8)]
+        )
+
+    cli.main(["--config", YAML, "--command", "train_r32", "--debug",
+              "--opts", *TINY_OPTS, "data_path", ffhq])
+    best = tmp_path / "results/ffhq/train_r32/ckptdir/best_fid"
+    assert best.is_dir()
+
+    cli.main([
+        "--config", FINETUNE_YAML, "--command", "finetune_afhq", "--debug",
+        "--opts", *TINY_OPTS, "data_path", afhq,
+        "finetune_dir", str(best),
+    ])
+    out = tmp_path / "results/finetune/finetune_afhq"
+    assert (out / "ckptdir/resume").is_dir()
+    # the finetuned generator keeps freeze-NeRF semantics end-to-end
+    cfg = resolve_command(FINETUNE_YAML, "finetune_afhq")
+    assert cfg.generator.to_dict()["freeze_nerf"] is True
