@@ -10,12 +10,22 @@ costs one device dispatch instead of a CLI cold start.
 
 Endpoints:
   GET /                 — interactive page (drag to look around; fetches frames live)
-  GET /render?seed=0&yaw=1.57&pitch=1.57&psi=0.7[&depth=1]  — one JPEG frame
+  GET /render?seed=0&yaw=1.57&pitch=1.57&psi=0.7[&depth=1][&model=name]  — one JPEG frame
+  GET /models           — available model names + the default (JSON)
   GET /healthz          — liveness + device info (JSON)
+
+Multiple checkpoints can be served from one process (the web demo's model
+dropdown across the released FFHQ/AFHQ/Cartoon checkpoints,
+`exp/cips3d/configs/web_demo.yaml:12-14` + `scripts/web_demo.py`): repeat
+``--ckpt name=path``.  All models share one GeneratorConfig, so one compiled
+render program serves every model — params are a traced argument and
+switching costs nothing.
 
 Usage:
   python -m cips3d_tpu.apps.serve --ckpt results/.../ckptdir/best_fid \
       --img-size 128 --port 8000 [--config cfg.yaml]
+  python -m cips3d_tpu.apps.serve --ckpt ffhq=...:/best_fid \
+      --ckpt afhq=.../best_fid --ckpt cartoon=.../best_fid
 """
 
 from __future__ import annotations
@@ -51,6 +61,7 @@ _INDEX = """<!doctype html>
 <h3>cips3d_tpu &mdash; live render server</h3>
 <img id="view" draggable="false">
 <div id="hud"></div>
+<div class="row" id="models"></div>
 <div class="row">
   <button onclick="seed=Math.max(0,seed-1);load()">&minus; seed</button>
   <button onclick="seed+=1;load()">+ seed</button>
@@ -58,11 +69,29 @@ _INDEX = """<!doctype html>
 </div>
 <script>
 let seed = 0, yaw = Math.PI/2, pitch = Math.PI/2, depth = 0, inflight = false, queued = false;
+let model = '';
 const view = document.getElementById('view'), hud = document.getElementById('hud');
+fetch('/models').then(r => r.json()).then(m => {
+  model = m.default;
+  if (m.models.length < 2) return;
+  const row = document.getElementById('models');
+  for (const name of m.models) {
+    const b = document.createElement('button');
+    b.textContent = name;
+    b.classList.toggle('on', name === model);
+    b.onclick = () => {
+      model = name;
+      for (const c of row.children) c.classList.toggle('on', c === b);
+      load();
+    };
+    row.appendChild(b);
+  }
+});
 function load() {
   if (inflight) { queued = true; return; }
   inflight = true;
-  const url = `/render?seed=${seed}&yaw=${yaw.toFixed(3)}&pitch=${pitch.toFixed(3)}&depth=${depth}`;
+  const url = `/render?seed=${seed}&yaw=${yaw.toFixed(3)}&pitch=${pitch.toFixed(3)}&depth=${depth}` +
+              (model ? `&model=${encodeURIComponent(model)}` : '');
   const img = new Image();
   img.onload = () => { view.src = img.src; inflight = false;
                        if (queued) { queued = false; load(); } };
@@ -90,7 +119,11 @@ class RenderService:
     """Holds the generator + one jitted render fn; thread-safe frame renders.
 
     The explicit-camera position is a traced argument, so every pose reuses
-    one compiled program; styles are cached per (seed, psi).
+    one compiled program; styles are cached per (model, seed, psi).
+
+    ``params`` is either one pytree (single model, name "default") or a dict
+    of ``{name: pytree}`` — every model must share the generator
+    architecture, so the one jitted render program serves them all.
     """
 
     def __init__(self, generator: GeneratorNerfINR, params, img_size: int = 128,
@@ -99,7 +132,11 @@ class RenderService:
         from cips3d_tpu.apps.render import compute_styles, render_chunked_traced
 
         self.generator = generator
-        self.params = params
+        self.models = dict(params) if isinstance(params, dict) else {"default": params}
+        if not self.models:
+            raise ValueError("need at least one model")
+        self.default_model = next(iter(self.models))
+        self.params = self.models[self.default_model]
         self.opts = RenderOptions(
             img_size=img_size, num_steps=num_steps, fov=fov,
             h_stddev=0.0, v_stddev=0.0,
@@ -119,19 +156,25 @@ class RenderService:
 
         self._render = jax.jit(render)
 
-    def styles(self, seed: int, psi: float):
-        k = (int(seed), round(float(psi), 4))
+    def styles(self, seed: int, psi: float, model: Optional[str] = None):
+        model = model or self.default_model
+        k = (model, int(seed), round(float(psi), 4))
         if k not in self._styles_cache:
             zs = sample_zs(jax.random.PRNGKey(int(seed)), 1, self.generator.cfg)
             self._styles_cache[k] = self._compute_styles(
-                self.params, self.generator, zs, psi=float(psi)
+                self.models[model], self.generator, zs, psi=float(psi)
             )
         return self._styles_cache[k]
 
     def frame(self, seed: int = 0, yaw: float = math.pi / 2,
               pitch: float = math.pi / 2, psi: float = 0.7,
-              depth: bool = False) -> np.ndarray:
+              depth: bool = False, model: Optional[str] = None) -> np.ndarray:
         """Render one (H, W, 3) uint8 frame."""
+        model = model or self.default_model
+        if model not in self.models:
+            raise KeyError(
+                f"unknown model {model!r}; available: {sorted(self.models)}"
+            )
         pos = self.radius * np.array(
             [
                 math.sin(pitch) * math.cos(yaw),
@@ -140,9 +183,9 @@ class RenderService:
             ]
         )
         with self._lock:
-            styles = self.styles(seed, psi)
+            styles = self.styles(seed, psi, model)
             img, dmap = self._render(
-                self.params, styles, jnp.asarray(pos[None]),
+                self.models[model], styles, jnp.asarray(pos[None]),
                 jax.random.PRNGKey(int(seed)),
             )
         if depth:
@@ -176,8 +219,15 @@ def make_handler(service: RenderService):
                     "backend": jax.default_backend(),
                     "devices": len(jax.devices()),
                     "img_size": service.opts.img_size,
+                    "models": sorted(service.models),
                 }
                 self._send(200, json.dumps(info).encode(), "application/json")
+            elif url.path == "/models":
+                body = json.dumps({
+                    "models": list(service.models),
+                    "default": service.default_model,
+                })
+                self._send(200, body.encode(), "application/json")
             elif url.path == "/render":
                 q = parse_qs(url.query)
 
@@ -185,13 +235,24 @@ def make_handler(service: RenderService):
                     return cast(q[name][0]) if name in q else default
 
                 try:
-                    frame = service.frame(
+                    kwargs = dict(
                         seed=f("seed", 0, int),
                         yaw=f("yaw", math.pi / 2),
                         pitch=f("pitch", math.pi / 2),
                         psi=f("psi", 0.7),
                         depth=bool(f("depth", 0, int)),
+                        model=f("model", None, str),
                     )
+                except ValueError as e:  # uncastable query param
+                    self._send(400, json.dumps({"error": str(e)}).encode(),
+                               "application/json")
+                    return
+                try:
+                    frame = service.frame(**kwargs)
+                except KeyError as e:  # unknown model
+                    self._send(404, json.dumps({"error": str(e)}).encode(),
+                               "application/json")
+                    return
                 except Exception as e:  # surface render errors as 500 JSON
                     self._send(500, json.dumps({"error": str(e)}).encode(),
                                "application/json")
@@ -214,7 +275,9 @@ def main(argv=None):
 
     apply_platform_env()
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--ckpt", required=True)
+    p.add_argument("--ckpt", required=True, action="append",
+                   help="snapshot dir, or NAME=DIR; repeat to serve several "
+                        "models (same architecture) from one process")
     p.add_argument("--module", default="G_ema")
     p.add_argument("--config", default=None)
     p.add_argument("--command", default=None)
@@ -242,8 +305,20 @@ def main(argv=None):
         )
     from cips3d_tpu.eval.cli import load_generator
 
-    gen, params = load_generator(args.ckpt, gen_cfg, args.module)
-    service = RenderService(gen, params, img_size=args.img_size,
+    import os
+
+    models = {}
+    for i, spec in enumerate(args.ckpt):
+        name, _, path = spec.rpartition("=")
+        if not name:
+            path = spec
+            # derive a name from the experiment dir (…/<exp>/ckptdir/<snap>)
+            name = os.path.basename(os.path.dirname(os.path.dirname(path))) \
+                if len(args.ckpt) > 1 else "default"
+        if name in models:
+            name = f"{name}_{i}"
+        gen, models[name] = load_generator(path, gen_cfg, args.module)
+    service = RenderService(gen, models, img_size=args.img_size,
                             num_steps=args.num_steps)
     print("warming up (first compile)...", flush=True)
     service.frame()  # compile before accepting traffic

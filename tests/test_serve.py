@@ -24,12 +24,17 @@ GCFG = GeneratorConfig(
 
 @pytest.fixture(scope="module")
 def service():
+    """Two same-architecture models in one service (the web demo's
+    FFHQ/AFHQ/Cartoon dropdown, `exp/cips3d/configs/web_demo.yaml:12-14`)."""
     from cips3d_tpu.apps.serve import RenderService
 
     model = GeneratorNerfINR(cfg=GCFG)
-    key = jax.random.PRNGKey(0)
-    zs = sample_zs(key, 1, GCFG)
-    params = model.init(key, zs, key, RenderOptions(img_size=8, num_steps=3))
+    opts = RenderOptions(img_size=8, num_steps=3)
+    params = {
+        name: model.init(jax.random.PRNGKey(s), sample_zs(jax.random.PRNGKey(s), 1, GCFG),
+                         jax.random.PRNGKey(s), opts)
+        for name, s in (("ffhq", 0), ("afhq", 7))
+    }
     return RenderService(model, params, img_size=8, num_steps=3, forward_points=32)
 
 
@@ -54,7 +59,16 @@ class TestRenderService:
     def test_style_cache(self, service):
         service.frame(seed=3, psi=0.5)
         service.frame(seed=3, psi=0.5)
-        assert (3, 0.5) in service._styles_cache
+        assert ("ffhq", 3, 0.5) in service._styles_cache
+
+    def test_model_switch(self, service):
+        """Different checkpoints render different frames; unknown -> KeyError."""
+        a = service.frame(seed=0, model="ffhq")
+        b = service.frame(seed=0, model="afhq")
+        assert not np.array_equal(a, b)
+        assert service.default_model == "ffhq"
+        with pytest.raises(KeyError, match="afhq"):
+            service.frame(seed=0, model="nope")
 
 
 class TestHttpServer:
@@ -81,6 +95,19 @@ class TestHttpServer:
         assert status == 200 and ctype == "application/json"
         info = json.loads(body)
         assert info["ok"] and info["devices"] >= 1
+        assert info["models"] == ["afhq", "ffhq"]
+
+    def test_models_endpoint(self, server):
+        status, ctype, body = self._get(server, "/models")
+        assert status == 200 and ctype == "application/json"
+        info = json.loads(body)
+        assert info["models"] == ["ffhq", "afhq"] and info["default"] == "ffhq"
+
+    def test_render_model_param(self, server):
+        status, ctype, _ = self._get(server, "/render?seed=1&model=afhq")
+        assert status == 200 and ctype == "image/jpeg"
+        status, ctype, body = self._get(server, "/render?seed=1&model=nope")
+        assert status == 404 and "available" in json.loads(body)["error"]
 
     def test_index(self, server):
         status, ctype, body = self._get(server, "/")
@@ -103,6 +130,6 @@ class TestHttpServer:
         status, _, _ = self._get(server, "/nope")
         assert status == 404
 
-    def test_bad_param_is_500_json(self, server):
+    def test_bad_param_is_400_json(self, server):
         status, ctype, _ = self._get(server, "/render?seed=abc")
-        assert status == 500 and ctype == "application/json"
+        assert status == 400 and ctype == "application/json"
