@@ -1,6 +1,13 @@
 """Benchmark: flagship r64 adversarial train step, images/sec/chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+``value`` is the fast_sin configuration (the historical driver series);
+``exact_sin_imgs_per_sec`` reports the shipped FFHQ-recipe default (exact
+``jnp.sin``) in the same session, and ``loader_imgs_per_sec`` the real-data
+pipeline (zip loader -> normalize -> per-step dispatch) — both first-class
+driver numbers per the round-3 verdict (next #3).  Setting BENCH_FAST_SIN
+explicitly (the campaign scripts do) measures that single configuration
+only, preserving the per-phase campaign semantics.
 
 Baseline: the reference trains FFHQ r64 for 200k iters at batch 4/GPU on
 8 GPUs in "about 2 days or less" (README.md:201-202) →
@@ -9,6 +16,7 @@ Baseline: the reference trains FFHQ r64 for 200k iters at batch 4/GPU on
 """
 
 import json
+import os
 import sys
 import time
 
@@ -17,24 +25,18 @@ import jax.numpy as jnp
 
 BASELINE_IMGS_PER_SEC_PER_CHIP = 200000 * 32 / (2 * 86400) / 8  # ≈ 4.63
 
+IMG_SIZE = 64
+BATCH = 4
 
-def main():
+
+def build(fast_sin: bool):
+    """Construct (gen, disc, tcfg, opts) for one benchmark configuration."""
     from cips3d_tpu.models.discriminator import DiscriminatorMultiScaleAux
     from cips3d_tpu.models.generator import GeneratorConfig, GeneratorNerfINR, RenderOptions
     from cips3d_tpu.train.state import TrainConfig
-    from cips3d_tpu.train.step import init_train_state, make_train_step
 
-    img_size = 64
-    batch = 4
-
-    import os
-
-    # fast_sin (polynomial sine, max abs err 1.7e-5) is part of the benched
-    # training configuration: a 4k-step synthetic campaign reproduces the
-    # exact-sin FID trend (docs/campaign_r32/POSTMORTEM.md).  BENCH_FAST_SIN=0
-    # for exact-sin numbers.
     gcfg = GeneratorConfig(
-        fast_sin=os.environ.get("BENCH_FAST_SIN", "1") == "1",
+        fast_sin=fast_sin,
         # BENCH_FUSED=1 routes the G phase (fwd+bwd) through the fused
         # ray-tile kernel too; default off — its recompute backward makes
         # G-phase fused a wash-to-slight-loss, while the D phase picks the
@@ -45,31 +47,37 @@ def main():
         # count) instead of the in-VMEM recompute backward.
         fused_ray_vjp=os.environ.get("BENCH_VJP", "pallas"),
     )
-    opts = RenderOptions(img_size=img_size, num_steps=12)
+    opts = RenderOptions(img_size=IMG_SIZE, num_steps=12)
     tcfg = TrainConfig(
-        img_size=img_size,
-        batch_size=batch,
+        img_size=IMG_SIZE,
+        batch_size=BATCH,
         # BENCH_DPHASE_INR=1 routes the D-phase fake INR decode through the
         # fused CIPS-INR kernel (forward-only; candidate HBM-traffic win).
         fused_dphase_inr=os.environ.get("BENCH_DPHASE_INR", "0") == "1",
     )
-
     gen = GeneratorNerfINR(cfg=gcfg, dtype=jnp.bfloat16)
     disc = DiscriminatorMultiScaleAux(max_size=1024, dtype=jnp.bfloat16)
+    return gen, disc, tcfg, opts
 
+
+def measure(fast_sin: bool, n_calls: int = 4, K: int = 50):
+    """Compile + time the K-step scanned train loop; returns
+    (imgs_per_sec, state, step_fn) — state is valid post-donation for the
+    loader phase."""
+    from cips3d_tpu.train.step import init_train_state, make_train_step
+
+    gen, disc, tcfg, opts = build(fast_sin)
     key = jax.random.PRNGKey(0)
-    print("initializing...", file=sys.stderr)
+    print(f"[fast_sin={int(fast_sin)}] initializing...", file=sys.stderr)
     state = init_train_state(key, gen, disc, tcfg, opts)
     step_fn = make_train_step(gen, disc, tcfg, opts, aux_reg=True)
 
-    real = jax.random.uniform(key, (batch, 3, img_size, img_size)) * 2 - 1
+    real = jax.random.uniform(key, (BATCH, 3, IMG_SIZE, IMG_SIZE)) * 2 - 1
 
     # Device-side multi-step loop: lax.scan over K steps inside ONE
     # executable.  This measures true chip throughput — per-dispatch host
     # round-trips (large through the dev tunnel) are amortized away, which is
     # also how a production loop would run (device-prefetched batches).
-    K = 50
-
     def run_k(state, real, key):
         def body(carry, i):
             st, _ = carry
@@ -83,14 +91,17 @@ def main():
 
     run_k = jax.jit(run_k, donate_argnums=(0,))
 
-    print("compiling...", file=sys.stderr)
+    print(f"[fast_sin={int(fast_sin)}] compiling...", file=sys.stderr)
     t0 = time.time()
     state, loss = run_k(state, real, key)
-    print(f"compile+first {K} steps: {time.time() - t0:.1f}s  d_loss={float(loss):.4f}", file=sys.stderr)
+    print(
+        f"[fast_sin={int(fast_sin)}] compile+first {K} steps: "
+        f"{time.time() - t0:.1f}s  d_loss={float(loss):.4f}",
+        file=sys.stderr,
+    )
 
     # time with an explicit host readback per call — block_until_ready can
     # return early through the dev tunnel's relay
-    n_calls = 4
     t0 = time.time()
     for i in range(n_calls):
         state, loss = run_k(state, real, jax.random.fold_in(key, i))
@@ -98,14 +109,40 @@ def main():
     dt = time.time() - t0
 
     n_steps = K * n_calls
-    imgs_per_sec = n_steps * batch / dt
-    print(f"{n_steps} steps in {dt:.2f}s  d_loss={float(loss):.4f}", file=sys.stderr)
+    imgs_per_sec = n_steps * BATCH / dt
+    print(
+        f"[fast_sin={int(fast_sin)}] {n_steps} steps in {dt:.2f}s = "
+        f"{imgs_per_sec:.2f} imgs/s  d_loss={float(loss):.4f}",
+        file=sys.stderr,
+    )
+    return imgs_per_sec, state, step_fn
 
-    # Real-data sanity phase (not the driver metric): loader -> normalize ->
-    # device put -> per-step dispatch, on the synthetic zip when present.
-    # Quantifies input-pipeline overhead vs the pure-chip number above.
+
+def main():
+    forced = os.environ.get("BENCH_FAST_SIN")
+    extra = {}
+    if forced is not None:
+        # Campaign mode: one explicitly-requested configuration, nothing else
+        # (each campaign phase is its own process; see tools/run_r4_campaign.sh).
+        imgs_per_sec, state, step_fn = measure(forced == "1")
+    else:
+        # Driver mode: fast_sin series number + the shipped exact-sin default
+        # in the same session, so the flagship-default throughput is a
+        # first-class round artifact (VERDICT r3 next #3).
+        imgs_per_sec, state, step_fn = measure(True)
+        try:
+            exact, _, _ = measure(False, n_calls=2)
+            extra["exact_sin_imgs_per_sec"] = round(exact, 2)
+        except Exception as e:  # never fail the driver metric
+            print(f"exact-sin phase skipped: {e}", file=sys.stderr)
+
+    # Real-data sanity phase (not the headline): loader -> normalize ->
+    # device put -> per-step dispatch.  Regenerates the synthetic zip when
+    # absent so the loader-regression canary always runs.
     try:
-        bench_with_input_pipeline(gen, disc, tcfg, opts, step_fn, state, img_size, batch)
+        loader_ips = bench_with_input_pipeline(step_fn, state)
+        if loader_ips is not None:
+            extra["loader_imgs_per_sec"] = round(loader_ips, 1)
     except Exception as e:  # never fail the driver metric
         print(f"input-pipeline phase skipped: {e}", file=sys.stderr)
 
@@ -116,23 +153,29 @@ def main():
                 "value": round(imgs_per_sec, 2),
                 "unit": "imgs/s",
                 "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC_PER_CHIP, 2),
+                **extra,
             }
         )
     )
 
 
-def bench_with_input_pipeline(gen, disc, tcfg, opts, step_fn, state, img_size, batch,
-                              n_steps=100):
-    import os
-
+def bench_with_input_pipeline(step_fn, state, n_steps=100):
     data = os.environ.get("CIPS3D_BENCH_DATA", "datasets/blobs_64.zip")
     if not os.path.exists(data):
-        print(f"input-pipeline phase: no dataset at {data}", file=sys.stderr)
-        return
+        # datasets/ is gitignored; the round-3 driver artifact silently lost
+        # this phase when the zip vanished between rounds.  Deterministic
+        # regeneration (same seed as the r2 campaign) keeps the canary alive.
+        print(f"input-pipeline phase: regenerating {data}...", file=sys.stderr)
+        from cips3d_tpu.data.synthetic import make_blob_dataset
+
+        os.makedirs(os.path.dirname(data) or ".", exist_ok=True)
+        tmp = data + ".tmp"
+        make_blob_dataset(tmp, num_images=2000, img_size=IMG_SIZE, seed=1)
+        os.replace(tmp, data)
     from cips3d_tpu.data.zip_dataset import DataLoader, ZipImageDataset
 
-    ds = ZipImageDataset(data, resize_resolution=img_size, xflip=True)
-    loader = DataLoader(ds, batch_size=batch, num_workers=2)
+    ds = ZipImageDataset(data, resize_resolution=IMG_SIZE, xflip=True)
+    loader = DataLoader(ds, batch_size=BATCH, num_workers=2)
     fn = jax.jit(step_fn, donate_argnums=(0,))
     key = jax.random.PRNGKey(1)
     # warmup (compile of the single-step variant)
@@ -146,11 +189,13 @@ def bench_with_input_pipeline(gen, disc, tcfg, opts, step_fn, state, img_size, b
     _ = float(metrics["d_loss"])
     dt = time.time() - t0
     loader.close()
+    ips = n_steps * BATCH / dt
     print(
         f"real-data pipeline: {n_steps} steps in {dt:.2f}s = "
-        f"{n_steps * batch / dt:.1f} imgs/s (incl. loader + per-step dispatch)",
+        f"{ips:.1f} imgs/s (incl. loader + per-step dispatch)",
         file=sys.stderr,
     )
+    return ips
 
 
 if __name__ == "__main__":

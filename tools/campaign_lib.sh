@@ -1,0 +1,74 @@
+# tools/campaign_lib.sh — shared phase runner for the TPU measurement
+# campaigns (sourced by run_r*_campaign*.sh; advisor round-3: the probe /
+# run_phase duplication between the r3 scripts let an empty-vs-non-empty
+# marker mismatch creep in, so both now source this).
+#
+# Contract: the caller sets RES (results dir) before sourcing.  Phase
+# completion markers are NON-EMPTY "$RES/<name>.done" files; the skip check
+# and the summary both test [ -s ].  backfill_markers upgrades legacy empty
+# markers (created by bare `touch` in the original round-3 script) so
+# finished phases are never re-run and never misreported as FAIL.
+
+probe() {
+  timeout 240 python -c "
+import jax, jax.numpy as jnp
+float((jnp.ones((128,128)) @ jnp.ones((128,128))).sum())
+print('TUNNEL_OK')" 2>&1 | grep -q TUNNEL_OK
+}
+
+wait_for_tunnel() {
+  until probe; do
+    echo "[campaign] tunnel down, waiting 300s ($(date))"
+    sleep 300
+  done
+}
+
+backfill_markers() {
+  local f
+  for f in "$RES"/*.done; do
+    [ -e "$f" ] && [ ! -s "$f" ] && echo done > "$f"
+  done
+  return 0
+}
+
+run_phase() {  # name timeout_s env_pairs... -- cmd...
+  local name="$1" tmo="$2"; shift 2
+  local envs=()
+  while [ "$1" != "--" ]; do envs+=("$1"); shift; done
+  shift
+  if [ -s "$RES/$name.done" ]; then
+    echo "[campaign] $name: already done, skipping"
+    return 0
+  fi
+  echo "[campaign] $name: starting ($(date))"
+  if env "${envs[@]}" timeout "$tmo" "$@" > "$RES/$name.log" 2>&1; then
+    echo done > "$RES/$name.done"
+    echo "[campaign] $name: OK"
+    tail -n 3 "$RES/$name.log"
+  else
+    echo "[campaign] $name: FAILED/TIMEOUT (exit $?) — see $RES/$name.log"
+    wait_for_tunnel
+  fi
+}
+
+campaign_summary() {
+  local f n s
+  for f in "$RES"/*.log; do
+    [ -e "$f" ] || continue
+    n=$(basename "$f" .log)
+    if [ -s "$RES/$n.done" ] || grep -q '{"metric"' "$f"; then s=OK; else s=FAIL; fi
+    echo "== $n [$s]"
+    grep -E '\{"metric"|ms/step|fps|imgs' "$f" | tail -n 2
+  done
+}
+
+# seal_results <dir>: write a MANIFEST of sha256 hashes and make every file
+# read-only, so a stray relaunch cannot silently overwrite committed evidence
+# (the sin-A/B overwrite incident, docs/sin_ab/REPORT.md "Provenance note").
+seal_results() {
+  local dir="${1:-$RES}"
+  ( cd "$dir" && find . -type f ! -name MANIFEST.sha256 -print0 \
+      | sort -z | xargs -0 sha256sum > MANIFEST.sha256 )
+  find "$dir" -type f -exec chmod a-w {} +
+  echo "[campaign] sealed $dir ($(wc -l < "$dir/MANIFEST.sha256") files)"
+}

@@ -2,9 +2,9 @@
 # Round-3 TPU measurement campaign — runs unattended the moment the tunnel
 # is healthy.  Each phase is its own python process (remote compiles are
 # slow and the tunnel degrades with session age — fresh process per
-# measurement), bounded by `timeout`, and records a marker file so the
-# script is resumable: re-running skips phases that already produced
-# results.
+# measurement), bounded by `timeout`, and records a non-empty marker file so
+# the script is resumable: re-running skips phases that already produced
+# results.  Shared phase machinery: tools/campaign_lib.sh.
 #
 # Usage:  bash tools/run_r3_campaign.sh [results_dir]
 #
@@ -12,20 +12,19 @@
 #   train r64 b4 bf16 (bench.py, 200 scanned steps):
 #     t_fast_xla        fast_sin, XLA G-phase            (r2: 111.2 imgs/s)
 #     t_fast_fused      fast_sin, fused recompute VJP    (r3: 108.9)
-#     t_fast_resid      fast_sin, fused residual VJP     (new)
+#     t_fast_resid      fast_sin, fused residual VJP     (r3: 104.9)
 #     t_exact_xla       exact sin, XLA                   (r3: 81.8)
+#     t_exact_resid     exact sin, fused residual VJP
 #     t_exact_fused     exact sin, fused recompute VJP   (r3: 78.7)
-#     t_exact_resid     exact sin, fused residual VJP    (new — the variant
-#                       built to erase the 3x-sine backward tax)
-#     t_fast_dinr       fast_sin, XLA G-phase + fused D-phase INR (new)
+#     t_fast_dinr       fast_sin, XLA G-phase + fused D-phase INR
 #   serving (bench_inference.py, 16-frame scan):
-#     s_r256_all        fused ray + fused INR + fast_sin (new combined)
+#     s_r256_all        fused ray + fused INR + fast_sin
 #     s_r256_ray        fused ray only                   (r3: 88.9 fps)
 #     s_r256_xla        XLA                              (r3 session: 60.8)
-#     s_r512_all / s_r512_xla   r512 stretch             (new)
+#     s_r512_all / s_r512_xla   r512 stretch
 #   r256 train stage (tools/measure_r256_step.py, 10-step scans):
 #     r256_base         shipped stage                    (r2: 238 ms/step)
-#     r256_dinr         + fused D-phase INR              (new)
+#     r256_dinr         + fused D-phase INR
 #     r256_aux          aux probe (scan+aux cliff)       (r2: ~655 ms/step)
 #   profile:
 #     prof_r256         jax.profiler trace of the r256 step (copy analysis)
@@ -35,40 +34,11 @@ cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD:${PYTHONPATH:-}"
 RES="${1:-docs/r3_campaign}"
 mkdir -p "$RES"
-
-probe() {
-  timeout 180 python -c "
-import jax, jax.numpy as jnp
-float((jnp.ones((128,128)) @ jnp.ones((128,128))).sum())
-print('TUNNEL_OK')" 2>&1 | grep -q TUNNEL_OK
-}
-
-run_phase() {  # name timeout_s env_pairs... -- cmd...
-  local name="$1" tmo="$2"; shift 2
-  local envs=()
-  while [ "$1" != "--" ]; do envs+=("$1"); shift; done
-  shift
-  if [ -s "$RES/$name.done" ]; then
-    echo "[campaign] $name: already done, skipping"
-    return 0
-  fi
-  echo "[campaign] $name: starting ($(date))"
-  if env "${envs[@]}" timeout "$tmo" "$@" > "$RES/$name.log" 2>&1; then
-    touch "$RES/$name.done"
-    echo "[campaign] $name: OK"
-    tail -n 3 "$RES/$name.log"
-  else
-    echo "[campaign] $name: FAILED/TIMEOUT (exit $?) — see $RES/$name.log"
-    # probe the tunnel before moving on; if it is wedged, wait for recovery
-    until probe; do
-      echo "[campaign] tunnel down, waiting 300s ($(date))"
-      sleep 300
-    done
-  fi
-}
+. tools/campaign_lib.sh
+backfill_markers
 
 echo "[campaign] waiting for tunnel..."
-until probe; do sleep 180; done
+wait_for_tunnel
 echo "[campaign] tunnel is up ($(date))"
 
 # --- training r64 (driver metric family) --------------------------------
@@ -99,8 +69,4 @@ run_phase prof_r256 2400 PYTHONUNBUFFERED=1 -- \
   python tools/profile_step.py --stage-r256 --out "$RES/prof_r256"
 
 echo "[campaign] complete ($(date)); summary:"
-for f in "$RES"/*.log; do
-  n=$(basename "$f" .log)
-  [ -f "$RES/$n.done" ] && s=OK || s=FAIL
-  echo "== $n [$s]"; grep -E '\{"metric"|ms/step|fps|imgs' "$f" | tail -n 2
-done
+campaign_summary

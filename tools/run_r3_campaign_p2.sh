@@ -1,7 +1,8 @@
 #!/bin/bash
 # Prioritized continuation of tools/run_r3_campaign.sh — same resumable
-# phase protocol (markers in the results dir), reordered so the
-# decision-critical measurements land first when wall clock is short:
+# phase protocol (shared tools/campaign_lib.sh; non-empty markers, legacy
+# empty markers backfilled), reordered so the decision-critical measurements
+# land first when wall clock is short:
 #   1. exact-sin residual-VJP vs XLA (decides the FFHQ-recipe G-phase default)
 #   2. r256 step profile (the ~64 ms copy analysis, VERDICT r2 next #2)
 #   3. scan+aux cliff HLO analysis (VERDICT r2 weak #3)
@@ -15,36 +16,12 @@ cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD:${PYTHONPATH:-}"
 RES="${1:-docs/r3_campaign}"
 mkdir -p "$RES"
+. tools/campaign_lib.sh
+backfill_markers
 
-probe() {
-  timeout 240 python -c "
-import jax, jax.numpy as jnp
-float((jnp.ones((128,128)) @ jnp.ones((128,128))).sum())
-print('TUNNEL_OK')" 2>&1 | grep -q TUNNEL_OK
-}
-
-run_phase() {  # name timeout_s env_pairs... -- cmd...
-  local name="$1" tmo="$2"; shift 2
-  local envs=()
-  while [ "$1" != "--" ]; do envs+=("$1"); shift; done
-  shift
-  if [ -s "$RES/$name.done" ]; then
-    echo "[campaign] $name: already done, skipping"
-    return 0
-  fi
-  echo "[campaign] $name: starting ($(date))"
-  if env "${envs[@]}" timeout "$tmo" "$@" > "$RES/$name.log" 2>&1; then
-    touch "$RES/$name.done"; echo done > "$RES/$name.done"
-    echo "[campaign] $name: OK"
-    tail -n 3 "$RES/$name.log"
-  else
-    echo "[campaign] $name: FAILED/TIMEOUT (exit $?) — see $RES/$name.log"
-    until probe; do
-      echo "[campaign] tunnel down, waiting 300s ($(date))"
-      sleep 300
-    done
-  fi
-}
+echo "[campaign] waiting for tunnel..."
+wait_for_tunnel
+echo "[campaign] tunnel is up ($(date))"
 
 run_phase t_exact_resid 1800 BENCH_FAST_SIN=0 BENCH_FUSED=1 BENCH_VJP=pallas_residual -- python bench.py
 run_phase t_exact_xla   1500 BENCH_FAST_SIN=0 -- python bench.py
@@ -58,8 +35,4 @@ run_phase s_r256_xla  1500 BENCH_FUSED=0 BENCH_FUSED_INR=0 -- python bench_infer
 run_phase t_fast_dinr   1800 BENCH_FAST_SIN=1 BENCH_DPHASE_INR=1 -- python bench.py
 
 echo "[campaign] p2 complete ($(date))"
-for f in "$RES"/*.log; do
-  n=$(basename "$f" .log)
-  [ -s "$RES/$n.done" ] && s=OK || s=FAIL
-  echo "== $n [$s]"; grep -E '\{"metric"|ms/step|fps|imgs' "$f" | tail -n 2
-done
+campaign_summary
