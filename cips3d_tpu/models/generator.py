@@ -81,6 +81,32 @@ class GeneratorConfig:
     # serving path; training keeps the XLA INR.
     fused_inr: bool = False
 
+    def __post_init__(self):
+        # Loud architecture gates (round-3 verdict next #6): the fused
+        # kernels support the flagship layouts only; an explicit request for
+        # a kernel outside its envelope must error at config time, not fall
+        # back silently in one code path (train/step.py's auto-picker) and
+        # KeyError in another (serving's extract_siren_weights).
+        if self.fused_ray and self.nerf_hidden_layers != 2:
+            raise ValueError(
+                "fused_ray=True requires nerf_hidden_layers == 2 (the fused "
+                "ray-tile kernel's film_0/film_1 weight layout, ops/pallas/"
+                f"ray_tile.py); got nerf_hidden_layers={self.nerf_hidden_layers}. "
+                "Use fused_ray=False for other depths."
+            )
+        if self.fused_inr and self.inr_pre_rgb_dim != 3:
+            raise ValueError(
+                "fused_inr=True requires inr_pre_rgb_dim == 3 (the fused "
+                "CIPS-INR kernel's to_rgb layout, ops/pallas/inr_tile.py); "
+                f"got inr_pre_rgb_dim={self.inr_pre_rgb_dim}."
+            )
+        if self.fused_ray_vjp not in ("pallas", "pallas_residual", "jnp"):
+            raise ValueError(
+                "fused_ray_vjp must be one of 'pallas' (in-VMEM recompute "
+                "backward), 'pallas_residual' (residual-passing backward) or "
+                f"'jnp' (reference VJP); got {self.fused_ray_vjp!r}."
+            )
+
 
 @dataclasses.dataclass(frozen=True)
 class RenderOptions:

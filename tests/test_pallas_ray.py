@@ -325,3 +325,66 @@ def test_camera_grads_pallas_bwd(setup):
         for impl in ("pallas", "pallas_residual"):
             ga = jax.grad(lambda *a: loss(*a, impl), argnums=argnum)(pts, origins, dirs)
             _assert_grads_close(ga, gb, msg=f"{impl}:{name}")
+
+
+class TestConfigGates:
+    """GeneratorConfig raises at construction when a fused kernel is
+    requested outside its supported layout (round-3 verdict next #6) —
+    previously the D-phase picker fell back silently and serving would
+    KeyError inside extract_siren_weights."""
+
+    def test_fused_ray_requires_two_hidden_layers(self):
+        from cips3d_tpu.models.generator import GeneratorConfig
+
+        with pytest.raises(ValueError, match="nerf_hidden_layers"):
+            GeneratorConfig(fused_ray=True, nerf_hidden_layers=3)
+        # depth 2 (the flagship layout) constructs fine
+        GeneratorConfig(fused_ray=True, nerf_hidden_layers=2)
+        # unfused depth-3 remains a supported architecture
+        GeneratorConfig(fused_ray=False, nerf_hidden_layers=3)
+
+    def test_fused_inr_requires_pre_rgb_3(self):
+        from cips3d_tpu.models.generator import GeneratorConfig
+
+        with pytest.raises(ValueError, match="inr_pre_rgb_dim"):
+            GeneratorConfig(fused_inr=True, inr_pre_rgb_dim=32)
+        GeneratorConfig(fused_inr=True, inr_pre_rgb_dim=3)
+
+    def test_fused_ray_vjp_validated(self):
+        from cips3d_tpu.models.generator import GeneratorConfig
+
+        with pytest.raises(ValueError, match="fused_ray_vjp"):
+            GeneratorConfig(fused_ray_vjp="typo")
+
+    def test_unfused_depth3_generator_trains(self):
+        """The auto-picker (train/step.py fused_dphase) must keep XLA for a
+        3-layer SIREN under fast_sin rather than erroring: build the step-fn
+        for a tiny depth-3 config and check it constructs."""
+        from cips3d_tpu.models.discriminator import DiscriminatorMultiScaleAux
+        from cips3d_tpu.models.generator import (
+            GeneratorConfig,
+            GeneratorNerfINR,
+            RenderOptions,
+        )
+        from cips3d_tpu.train.state import TrainConfig
+        from cips3d_tpu.train.step import make_train_step
+
+        gcfg = GeneratorConfig(
+            fast_sin=True,
+            nerf_hidden_layers=3,
+            z_dim_nerf=16,
+            z_dim_inr=32,
+            nerf_hidden_dim=16,
+            nerf_style_dim=16,
+            nerf_mapping_layers=2,
+            inr_hidden_dim=32,
+            inr_style_dim=32,
+            inr_mapping_layers=2,
+        )
+        gen = GeneratorNerfINR(cfg=gcfg)
+        disc = DiscriminatorMultiScaleAux(
+            max_size=16, channels_override={4: 16, 8: 16, 16: 16}
+        )
+        tcfg = TrainConfig(img_size=8, batch_size=1)
+        step = make_train_step(gen, disc, tcfg, RenderOptions(img_size=8, num_steps=3), aux_reg=True)
+        assert callable(step)
