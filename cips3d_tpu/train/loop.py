@@ -154,6 +154,34 @@ def save_monitor_images(
     save_image_grid(np.concatenate([f1, f2], axis=0), f"{out_dir}/0G_flip_ema.jpg", len(sub["z_nerf"]))
 
 
+def _refuse_sealed_outdir(outdir: str) -> None:
+    """Refuse to write into a sealed campaign tree (round-3 verdict next #7).
+
+    Campaign scripts call `seal_results` (tools/campaign_lib.sh) when a
+    measurement campaign completes, dropping a CAMPAIGN_SEALED marker at the
+    results root; once that exists the evidence is append-never.  The
+    sin-A/B incident (docs/sin_ab/REPORT.md "Provenance note") was a stray
+    relaunch overwriting a finished run's best_fid/resume trees — this check
+    makes that a hard error instead.  Walks outdir and its ancestors so a
+    stage dir under a sealed campaign root is also refused.
+    """
+    d = os.path.abspath(outdir)
+    while True:
+        marker = os.path.join(d, "CAMPAIGN_SEALED")
+        if os.path.exists(marker):
+            raise RuntimeError(
+                f"outdir {outdir!r} is inside a sealed campaign tree "
+                f"({marker} exists). Completed campaign evidence is "
+                "write-protected; choose a fresh outdir (or deliberately "
+                "remove the marker if you really mean to discard the "
+                "evidence)."
+            )
+        parent = os.path.dirname(d)
+        if parent == d:
+            return
+        d = parent
+
+
 def train(
     gen_cfg: GeneratorConfig,
     train_cfg: TrainConfig,
@@ -168,6 +196,7 @@ def train(
 ):
     """Run the adversarial loop.  Returns the final TrainState."""
     outdir = loop_cfg.outdir
+    _refuse_sealed_outdir(outdir)
     os.makedirs(outdir, exist_ok=True)
     if loop_cfg.debug_shapes:
         from cips3d_tpu.utils import debug

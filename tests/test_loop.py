@@ -212,3 +212,26 @@ def test_lazy_r1_schedule(tmp_path):
     assert len(vals) == 2
     assert vals[0] > 0          # step 0: R1 on
     assert vals[1] == 0         # step 1: lazy-skipped
+
+
+def test_refuse_sealed_outdir(tmp_path):
+    """train() must hard-error instead of writing into a sealed campaign
+    tree (verdict r3 next #7 — the sin-A/B overwrite incident)."""
+    from cips3d_tpu.train.loop import _refuse_sealed_outdir
+
+    root = tmp_path / "campaign"
+    stage = root / "exact" / "train_r64"
+    stage.mkdir(parents=True)
+    # unsealed: fine
+    _refuse_sealed_outdir(str(stage))
+    (root / "CAMPAIGN_SEALED").write_text("sealed 2026-08-18")
+    # the outdir itself, a stage below the sealed root, and a not-yet-created
+    # subdir are all refused
+    with pytest.raises(RuntimeError, match="sealed campaign"):
+        _refuse_sealed_outdir(str(root))
+    with pytest.raises(RuntimeError, match="sealed campaign"):
+        _refuse_sealed_outdir(str(stage))
+    with pytest.raises(RuntimeError, match="sealed campaign"):
+        _refuse_sealed_outdir(str(root / "new_stage"))
+    # sibling trees are unaffected
+    _refuse_sealed_outdir(str(tmp_path / "other"))

@@ -62,11 +62,14 @@ campaign_summary() {
   done
 }
 
-# seal_results <dir>: write a MANIFEST of sha256 hashes and make every file
-# read-only, so a stray relaunch cannot silently overwrite committed evidence
-# (the sin-A/B overwrite incident, docs/sin_ab/REPORT.md "Provenance note").
+# seal_results <dir>: mark the campaign complete (CAMPAIGN_SEALED — the
+# train CLI refuses to reuse an outdir under a sealed tree), write a MANIFEST
+# of sha256 hashes, and make every file read-only, so a stray relaunch cannot
+# silently overwrite committed evidence (the sin-A/B overwrite incident,
+# docs/sin_ab/REPORT.md "Provenance note").
 seal_results() {
   local dir="${1:-$RES}"
+  date -u +"sealed %Y-%m-%dT%H:%M:%SZ" > "$dir/CAMPAIGN_SEALED"
   ( cd "$dir" && find . -type f ! -name MANIFEST.sha256 -print0 \
       | sort -z | xargs -0 sha256sum > MANIFEST.sha256 )
   find "$dir" -type f -exec chmod a-w {} +

@@ -6,6 +6,8 @@
 # results/synth_prog/ — collected into docs/campaign_progressive afterwards.
 set -euo pipefail
 cd "$(dirname "$0")/.."
+RES=results/synth_prog
+. tools/campaign_lib.sh
 
 if [ ! -f datasets/blobs_256.zip ]; then
   mkdir -p datasets
@@ -18,4 +20,6 @@ for cmd in train_r32 train_r64 train_r128 train_r256; do
   python -m cips3d_tpu.train.cli \
     --config configs/synthetic_progressive.yaml --command "$cmd" "$@"
 done
+# evidence is complete: seal so a stray relaunch cannot overwrite it
+seal_results results/synth_prog
 echo "=== campaign done ==="

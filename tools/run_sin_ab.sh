@@ -5,6 +5,8 @@
 # compare the eval.FID_surrogate logs (tools/collect_campaign.py plots them).
 set -euo pipefail
 cd "$(dirname "$0")/.."
+RES=results/sin_ab
+. tools/campaign_lib.sh
 
 ITERS="${1:-10000}"
 
@@ -18,4 +20,7 @@ for mode in exact fast; do
     total_iters "$ITERS" \
     load_finetune false
 done
+# evidence is complete: seal so a stray relaunch cannot overwrite it
+# (the round-3 provenance incident); train() refuses sealed outdirs
+seal_results results/sin_ab
 echo "=== sin A/B done ==="
