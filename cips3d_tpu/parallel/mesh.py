@@ -133,6 +133,26 @@ def pixel_scope_active() -> bool:
     return _PIXEL_SCOPE is not None
 
 
+@contextlib.contextmanager
+def pixel_sharding_suspended():
+    """Temporarily deactivate the pixel scope for host-side eval/monitor
+    rendering.  Eval images are per-host work (interleaved shards, plain
+    `jit`, host fetch via np.asarray): tracing them under the training
+    scope attaches the GLOBAL 2-D mesh sharding to their outputs, which a
+    host cannot fetch once the mesh spans processes ("spans non-addressable
+    devices" — caught by tests/test_multihost.py's 2-process 2-D-mesh run;
+    invisible on the single-process 8-device sim where every shard is
+    addressable).  Eval memory at high res is handled by forward_points
+    chunking, not ray sharding, so no capability is lost."""
+    global _PIXEL_SCOPE
+    prev = _PIXEL_SCOPE
+    _PIXEL_SCOPE = None
+    try:
+        yield
+    finally:
+        _PIXEL_SCOPE = prev
+
+
 def constrain_pixels(x):
     """Constrain a (b, n_pixels, ...) generator array to
     P(data, rays, None, ...).  Identity outside a pixel_sharding_scope, and

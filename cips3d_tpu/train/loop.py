@@ -89,6 +89,12 @@ class LoopConfig:
     # 588 vs 286 ms/step at r256).  Chunking engages only when the per-step
     # (aux_reg, d_regularize) schedule is constant; 1 disables it.
     dispatch_chunk: int = 10
+    # Archive each eval's generated-image dump to fid/fake_step{N} instead of
+    # letting the next eval overwrite it.  Keeps the raw samples a surrogate
+    # metric was computed from, so a later metric change can re-score the
+    # whole campaign (round-3 verdict next #4: the texture-extractor change
+    # orphaned every earlier campaign's numbers because the images were gone).
+    archive_eval_images: bool = False
     # 2-D (data x rays) training mesh: shard the generator's pixel axis over
     # `ray_shards` devices (SURVEY §2.6 ray-parallel row; needed for r512
     # where one image's sample tensor overflows a single chip's HBM — see
@@ -563,6 +569,22 @@ def _dump_crupted(ckpt_mgr, state, name, host_state):
 def _run_eval_and_checkpoint(
     generator, state, fixed_zs, opts, train_cfg, loop_cfg, dataset, ckpt_mgr, textlogger, host_state
 ):
+    # eval/monitor renders are per-host work fetched with np.asarray; they
+    # must not trace under the 2-D training mesh's pixel scope (their
+    # outputs would span other processes' devices — see
+    # mesh.pixel_sharding_suspended)
+    from cips3d_tpu.parallel import mesh as mesh_lib
+
+    with mesh_lib.pixel_sharding_suspended():
+        return _run_eval_and_checkpoint_inner(
+            generator, state, fixed_zs, opts, train_cfg, loop_cfg, dataset,
+            ckpt_mgr, textlogger, host_state,
+        )
+
+
+def _run_eval_and_checkpoint_inner(
+    generator, state, fixed_zs, opts, train_cfg, loop_cfg, dataset, ckpt_mgr, textlogger, host_state
+):
     img_size = train_cfg.img_size
     n_eval = 16 if loop_cfg.debug else loop_cfg.num_images_real_eval
     n_gen = 16 if loop_cfg.debug else loop_cfg.num_images_gen_eval
@@ -614,6 +636,17 @@ def _run_eval_and_checkpoint(
         textlogger.log_dict({fid_name: {fid_name: fid_val}}, prefix="eval", step=step)
         host_state["cur_fid"] = fid_val
         print(f"step {step}: {fid_name}={fid_val:.3f}", flush=True)
+
+        if loop_cfg.archive_eval_images:
+            # copy (not move): other processes write straight into fake_dir
+            # at the next eval, so the live dir must stay untouched
+            import shutil
+
+            shutil.copytree(
+                fake_dir,
+                os.path.join(loop_cfg.outdir, "fid", f"fake_step{step:06d}"),
+                dirs_exist_ok=True,
+            )
 
         modules = {
             "generator": jax.device_get(state.g_params),

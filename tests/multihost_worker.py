@@ -1,7 +1,12 @@
 """Worker process for the 2-process multi-host test (run via subprocess).
 
-Usage: python multihost_worker.py <data_zip> <outdir>
+Usage: python multihost_worker.py <data_zip> <outdir> [ray_shards]
 Env: CIPS3D_COORDINATOR, CIPS3D_NUM_PROCESSES, CIPS3D_PROCESS_ID.
+
+With ray_shards=2 the loop builds the 2-D (data x rays) mesh across BOTH
+processes — the r512 layout — so the generator's pixel axis is sharded over
+a mesh axis that spans process boundaries and the joint-axis reshard before
+D crosses hosts (round-3 verdict next #5).
 
 Initializes a local jax.distributed cluster on CPU (2 local devices per
 process -> 4 global), then runs the REAL training loop for 2 debug steps:
@@ -38,6 +43,7 @@ GCFG = GeneratorConfig(
 
 def main():
     data_zip, outdir = sys.argv[1], sys.argv[2]
+    ray_shards = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     # Per-step dispatch for the training run: the chunked path compiles a
     # much bigger program, and on the contended single-core CPU sim the two
     # processes reach the first Gloo collective > 30 s apart (Gloo's hard
@@ -45,13 +51,18 @@ def main():
     # rendezvous through PJRT.  The multi-process piece of chunking
     # (shard_chunk_batch's make_array_from_process_local_data) is exercised
     # directly below instead.
+    # 2-D mesh: batch_size must divide by ray_shards (the joint-axis reshard
+    # puts D batch-parallel over ALL devices); (2 procs x 2 local devices,
+    # ray_shards=2) -> mesh (data=2, rays=2), global batch 4, local batch 2
     tcfg = TrainConfig(
-        img_size=8, batch_size=1, grad_points=None, total_iters=2, ema_start_itr=1
+        img_size=8, batch_size=2 if ray_shards > 1 else 1,
+        grad_points=None, total_iters=2, ema_start_itr=1,
     )
     opts = RenderOptions(img_size=8, num_steps=3)
     lcfg = LoopConfig(
         outdir=outdir, data_path=data_zip, log_every=1, eval_every=2,
         fixed_z_bs=2, num_workers=1, debug=True, dispatch_chunk=1,
+        ray_shards=ray_shards,
     )
     state = train(
         GCFG, tcfg, opts, lcfg,

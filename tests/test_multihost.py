@@ -26,7 +26,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _launch_pair(data, outdir):
+def _launch_pair(data, outdir, ray_shards=1):
     port = _free_port()
     procs = []
     for pid in range(2):
@@ -40,7 +40,7 @@ def _launch_pair(data, outdir):
         )
         procs.append(
             subprocess.Popen(
-                [sys.executable, WORKER, data, outdir],
+                [sys.executable, WORKER, data, outdir, str(ray_shards)],
                 env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             )
         )
@@ -51,8 +51,7 @@ def _launch_pair(data, outdir):
     return procs, outs
 
 
-@pytest.mark.slow
-def test_two_process_training(tmp_path):
+def _run_and_check(tmp_path, ray_shards):
     from cips3d_tpu.data.zip_dataset import write_stylegan_zip
 
     data = str(tmp_path / "d.zip")
@@ -62,7 +61,7 @@ def test_two_process_training(tmp_path):
     )
     outdir = str(tmp_path / "run")
 
-    procs, outs = _launch_pair(data, outdir)
+    procs, outs = _launch_pair(data, outdir, ray_shards)
     if any(p.returncode != 0 for p in procs) and any(
         "Gloo context initialization failed" in (o or "") for o in outs
     ):
@@ -72,7 +71,7 @@ def test_two_process_training(tmp_path):
         # The cache is written at compile time even when execution then
         # deadlocks, so one warm retry is deterministic.  Real multi-host
         # TPU rendezvous through PJRT and has no such window.
-        procs, outs = _launch_pair(data, str(tmp_path / "run_retry"))
+        procs, outs = _launch_pair(data, str(tmp_path / "run_retry"), ray_shards)
         outdir = str(tmp_path / "run_retry")
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
@@ -87,3 +86,21 @@ def test_two_process_training(tmp_path):
     # FID was logged by rank 0 only (single value per eval step)
     logs = os.listdir(os.path.join(outdir, "textdir"))
     assert any("FID" in f for f in logs)
+
+
+@pytest.mark.slow
+def test_two_process_training(tmp_path):
+    _run_and_check(tmp_path, ray_shards=1)
+
+
+@pytest.mark.slow
+def test_two_process_training_2d_mesh(tmp_path):
+    """The r512 2-D (data x rays) layout across REAL process boundaries
+    (round-3 verdict next #5): 2 processes x 2 local CPU devices form a
+    (data=2, rays=2) mesh — data axis across hosts (DCN analogue), rays axis
+    intra-host (ICI analogue, the production layout).  Generator pixel
+    sharding, the joint-axis reshard before D (an all-to-all spanning both
+    hosts), multi-process joint-batch assembly, rank-0 eval and
+    checkpointing all run in the genuinely-distributed regime the
+    single-process 8-device simulation cannot reach."""
+    _run_and_check(tmp_path, ray_shards=2)

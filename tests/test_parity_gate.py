@@ -84,3 +84,25 @@ class TestDataCheck:
         ns = parity_gate.argparse.Namespace(data=str(zp), inception=None, ckpt=None)
         data, _, _ = parity_gate.probe(ns)
         assert data == str(zp)
+
+
+@pytest.mark.slow
+def test_self_test_end_to_end(tmp_path):
+    """--self-test runs every gate stage — dataset check, Inception weights
+    load + feature probe, checkpoint conversion + torch-class forward
+    validation, and the N/N FID protocol — on synthesized artifacts
+    (round-3 verdict next #8: prove the gate runs its protocol, not just
+    its probes).  Its first real run caught a latent NHWC/NCHW bug in
+    check_inception."""
+    rc = parity_gate.main([
+        "--self-test",
+        "--outdir", str(tmp_path / "gate"),
+        "--num-images", "8",
+        "--img-size", "32",
+        "--num-steps", "3",
+        "--batch-size", "4",
+    ])
+    assert rc == 0
+    # the FID protocol actually dumped and scored images
+    assert len(list((tmp_path / "gate" / "fid" / "real").glob("*.png"))) == 8
+    assert len(list((tmp_path / "gate" / "fid" / "fake").glob("*.png"))) == 8
