@@ -82,17 +82,16 @@ class GeneratorConfig:
     fused_inr: bool = False
 
     def __post_init__(self):
-        # Loud architecture gates (round-3 verdict next #6): the fused
-        # kernels support the flagship layouts only; an explicit request for
-        # a kernel outside its envelope must error at config time, not fall
+        # Loud architecture gates (round-3 verdict next #6): a fused kernel
+        # requested outside its envelope must error at config time, not fall
         # back silently in one code path (train/step.py's auto-picker) and
-        # KeyError in another (serving's extract_siren_weights).
-        if self.fused_ray and self.nerf_hidden_layers != 2:
+        # KeyError in another.  The ray-tile kernel is depth-generic as of
+        # round 4 (ops/pallas/ray_tile.py unrolls over hidden layers), so
+        # fused_ray only needs a sane depth.
+        if self.fused_ray and self.nerf_hidden_layers < 1:
             raise ValueError(
-                "fused_ray=True requires nerf_hidden_layers == 2 (the fused "
-                "ray-tile kernel's film_0/film_1 weight layout, ops/pallas/"
-                f"ray_tile.py); got nerf_hidden_layers={self.nerf_hidden_layers}. "
-                "Use fused_ray=False for other depths."
+                "fused_ray=True requires nerf_hidden_layers >= 1; got "
+                f"nerf_hidden_layers={self.nerf_hidden_layers}."
             )
         if self.fused_inr and self.inr_pre_rgb_dim != 3:
             raise ValueError(
@@ -255,7 +254,6 @@ class GeneratorNerfINR(nn.Module):
         if (
             self.cfg.fused_ray
             and opts.hierarchical_sample
-            and self.cfg.nerf_hidden_layers == 2
             and not self.is_initializing()
         ):
             # One Pallas kernel for the whole NeRF stage (ops/pallas/ray_tile

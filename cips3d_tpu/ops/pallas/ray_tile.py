@@ -20,6 +20,15 @@ MXU matmuls against constant triangular masks.  Point tensors are
 s-major point order makes (S, T, C) <-> (S·T, C) reshapes pure
 leading-dim merges (no relayout).
 
+Depth-generic: the SIREN may have any number ``L >= 1`` of FiLM hidden
+layers (`NeRFNetwork.hidden_layers` is configurable,
+`exp/cips3d/models/generator.py:151-340`); the kernel unrolls a static
+Python loop over the layers.  ``L`` is inferred from the param subtree
+(`film_{i}` entries), so call sites need no changes.  The weight tuple
+threaded through the custom VJP is flat — ``(w, b, gain, bias) * L`` then
+the color/sigma tail — and every kernel/grid-spec below is built from the
+same per-layer loop.
+
 Reference semantics being fused (cited per stage in the kernel body):
   * FiLM-SIREN point MLP — `exp/comm/models/film_layer.py:78-107`,
     `exp/cips3d/models/generator.py:151-340` (NeRFNetwork);
@@ -58,22 +67,28 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_TILE = 128
 
 
+def num_hidden_layers(siren_params: Mapping[str, Any]) -> int:
+    """Number of FiLM hidden layers in a NeRFNetwork param subtree."""
+    return sum(1 for k in siren_params if str(k).startswith("film_"))
+
+
 def extract_siren_weights(siren_params: Mapping[str, Any]) -> dict:
     """Pull the kernel's weight dict out of a NeRFNetwork param subtree
-    (`cips3d_tpu.models.nerf_net.NeRFNetwork` with hidden_layers=2)."""
+    (`cips3d_tpu.models.nerf_net.NeRFNetwork`, any ``hidden_layers``).
+    Keys: ``w{i}``/``b{i}`` per hidden layer, ``wc/bc`` color FiLM,
+    ``wr/br`` rgb head, ``ws/bs`` sigma head."""
     p = siren_params
-    return {
-        "w0": p["film_0"]["linear"]["kernel"],
-        "b0": p["film_0"]["linear"]["bias"],
-        "w1": p["film_1"]["linear"]["kernel"],
-        "b1": p["film_1"]["linear"]["bias"],
-        "wc": p["color_film"]["linear"]["kernel"],
-        "bc": p["color_film"]["linear"]["bias"],
-        "wr": p["color_linear"]["kernel"],
-        "br": p["color_linear"]["bias"],
-        "ws": p["sigma"]["kernel"],
-        "bs": p["sigma"]["bias"],
-    }
+    out = {}
+    for i in range(num_hidden_layers(p)):
+        out[f"w{i}"] = p[f"film_{i}"]["linear"]["kernel"]
+        out[f"b{i}"] = p[f"film_{i}"]["linear"]["bias"]
+    out["wc"] = p["color_film"]["linear"]["kernel"]
+    out["bc"] = p["color_film"]["linear"]["bias"]
+    out["wr"] = p["color_linear"]["kernel"]
+    out["br"] = p["color_linear"]["bias"]
+    out["ws"] = p["sigma"]["kernel"]
+    out["bs"] = p["sigma"]["bias"]
+    return out
 
 
 def compute_films(
@@ -93,10 +108,15 @@ def compute_films(
         f = style @ layer["bias_fc"]["kernel"] + layer["bias_fc"]["bias"]
         return g * gain_scale + gain_bias, f
 
-    g0, f0 = fc(p["film_0"], style_dict["nerf_w0"])
-    g1, f1 = fc(p["film_1"], style_dict["nerf_w1"])
+    out = {}
+    for i in range(num_hidden_layers(p)):
+        gi, fi = fc(p[f"film_{i}"], style_dict[f"nerf_w{i}"])
+        out[f"g{i}"] = gi
+        out[f"f{i}"] = fi
     gc, fcb = fc(p["color_film"], style_dict["nerf_rgb"])
-    return {"g0": g0, "f0": f0, "g1": g1, "f1": f1, "gc": gc, "fc": fcb}
+    out["gc"] = gc
+    out["fc"] = fcb
+    return out
 
 
 def _clamp(x, clamp_mode):
@@ -107,30 +127,36 @@ def _clamp(x, clamp_mode):
     raise ValueError(f"clamp_mode must be 'relu' or 'softplus', got {clamp_mode!r}")
 
 
+def _split_wt(wt):
+    """Flat weight tuple -> (per-layer [(w, b, g, f)], tail 8-tuple)."""
+    L = (len(wt) - 8) // 4
+    layers = [tuple(wt[4 * i : 4 * i + 4]) for i in range(L)]
+    return layers, tuple(wt[4 * L :])
+
+
 def _ray_tile_kernel(
-    # per-tile tensors (s-major: rays on lanes)
-    pts_ref,   # (1, S, T, 3) f32 — coarse sample points (pre box-warp)
-    org_ref,   # (1, T, 3)    f32 — ray origins
-    dir_ref,   # (1, T, 3)    f32 — ray directions
-    z_ref,     # (1, S, T)    f32 — coarse depths (sorted along S)
-    u_ref,     # (1, S, T)    f32 — importance-sample uniforms
-    nc_ref,    # (1, S, T)    f32 — resample density-noise draws
-    nf_ref,    # (1, 2S, T)   f32 — final compositing density-noise draws
-    ns_ref,    # (1, 1)       f32 SMEM — noise std (traced schedule scalar)
-    # SIREN weights (replicated across the grid; mm_dtype)
-    w0_ref, b0_ref, g0_ref, f0_ref,      # (3,H) (1,H) (1,H)/batch (1,H)/batch
-    w1_ref, b1_ref, g1_ref, f1_ref,      # (H,H) ...
-    wc_ref, bc_ref, gc_ref, fc_ref,      # (H,C) ...
-    wr_ref, br_ref,                      # (C,R) (1,R)
-    ws_ref, bs_ref,                      # (H,8) (1,8) — sigma head, lane-padded
-    # outputs
-    fea_ref,   # (1, T, R)  out dtype
-    dep_ref,   # (1, 8, T)  f32 (depth broadcast across sublanes)
-    # residual outputs (training fwd only — `with_residuals`):
-    #   rh (1, 2, S·T, 2H) mm · ra (1, 2, S·T, 2H) f32
+    # Positional refs, in order:
+    #   pts  (1, S, T, 3) f32 — coarse sample points (pre box-warp)
+    #   org  (1, T, 3)    f32 — ray origins
+    #   dir  (1, T, 3)    f32 — ray directions
+    #   z    (1, S, T)    f32 — coarse depths (sorted along S)
+    #   u    (1, S, T)    f32 — importance-sample uniforms
+    #   nc   (1, S, T)    f32 — resample density-noise draws
+    #   nf   (1, 2S, T)   f32 — final compositing density-noise draws
+    #   ns   (1, 1)       f32 SMEM — noise std (traced schedule scalar)
+    # then per hidden layer i < L (replicated across the grid; mm_dtype):
+    #   w_i (din,H)  b_i (1,H)  g_i (b,H)  f_i (b,H)      [din = 3 or H]
+    # then the head tail:
+    #   wc (H,C) bc (1,C) gc (b,C) fc (b,C)  wr (C,R) br (1,R)
+    #   ws (H,8) bs (1,8)                                  [sigma lane-padded]
+    # then outputs:
+    #   fea (1, T, R) out dtype · dep (1, 8, T) f32 (broadcast sublanes)
+    # then residual outputs (training fwd only — `with_residuals`):
+    #   rh (1, 2, S·T, L·H) mm · ra (1, 2, S·T, L·H) f32
     #   rhc (1, 2, S·T, C) mm · rac (1, 2, S·T, C) f32   [pass 0=coarse, 1=fine]
-    *res_refs,
+    *refs,
     S: int,
+    L: int,
     warp_scale: float,
     clamp_mode: str,
     white_back: bool,
@@ -139,6 +165,13 @@ def _ray_tile_kernel(
     fast_sin: bool,
     mm_dtype,
 ):
+    pts_ref, org_ref, dir_ref, z_ref, u_ref, nc_ref, nf_ref, ns_ref = refs[:8]
+    hrefs = [tuple(refs[8 + 4 * i : 12 + 4 * i]) for i in range(L)]
+    (wc_ref, bc_ref, gc_ref, fc_ref, wr_ref, br_ref, ws_ref, bs_ref) = refs[
+        8 + 4 * L : 16 + 4 * L
+    ]
+    fea_ref, dep_ref = refs[16 + 4 * L : 18 + 4 * L]
+    res_refs = refs[18 + 4 * L :]
     if fast_sin:
         from cips3d_tpu.ops.fast_sin import fast_sin as _sin
     else:
@@ -155,26 +188,28 @@ def _ray_tile_kernel(
         """FiLM-SIREN point MLP (film_layer.py:78-107): (N, 3) ->
         rgb (N, R) f32, sigma (N, 8) f32 (lane-padded, col 0 live), plus the
         pre-activations/hidden states the residual-passing backward saves."""
-        x = (p_flat * warp_scale).astype(mm_dtype)  # UniformBoxWarp
+        h = (p_flat * warp_scale).astype(mm_dtype)  # UniformBoxWarp
+        acts, hids = [], []
         # sines compute in f32 and cast to mm_dtype for the next matmul:
         # Mosaic cannot legalize bf16 transcendentals (math.sin/roundeven on
         # bf16 vectors fail), so f32 is both the fast and the only option
-        a0 = jnp.dot(x, w0_ref[:], preferred_element_type=f32) + b0_ref[0]
-        h0m = _sin(film(g0_ref) * a0 + film(f0_ref)).astype(mm_dtype)
-        a1 = jnp.dot(h0m, w1_ref[:], preferred_element_type=f32) + b1_ref[0]
-        h1m = _sin(film(g1_ref) * a1 + film(f1_ref)).astype(mm_dtype)
-        sig = jnp.dot(h1m, ws_ref[:], preferred_element_type=f32) + bs_ref[0]
-        ac = jnp.dot(h1m, wc_ref[:], preferred_element_type=f32) + bc_ref[0]
+        for w_ref, b_ref, g_ref, f_ref in hrefs:
+            a = jnp.dot(h, w_ref[:], preferred_element_type=f32) + b_ref[0]
+            h = _sin(film(g_ref) * a + film(f_ref)).astype(mm_dtype)
+            acts.append(a)
+            hids.append(h)
+        sig = jnp.dot(h, ws_ref[:], preferred_element_type=f32) + bs_ref[0]
+        ac = jnp.dot(h, wc_ref[:], preferred_element_type=f32) + bc_ref[0]
         hcm = _sin(film(gc_ref) * ac + film(fc_ref)).astype(mm_dtype)
         rgb = jnp.dot(hcm, wr_ref[:], preferred_element_type=f32) + br_ref[0]
-        return rgb, sig, dict(a0=a0, h0m=h0m, a1=a1, h1m=h1m, ac=ac, hcm=hcm)
+        return rgb, sig, dict(a=acts, h=hids, ac=ac, hcm=hcm)
 
     def save_residuals(pi, st):
         if not res_refs:
             return
         rh_ref, ra_ref, rhc_ref, rac_ref = res_refs
-        rh_ref[0, pi] = jnp.concatenate([st["h0m"], st["h1m"]], axis=1)
-        ra_ref[0, pi] = jnp.concatenate([st["a0"], st["a1"]], axis=1)
+        rh_ref[0, pi] = jnp.concatenate(st["h"], axis=1)
+        ra_ref[0, pi] = jnp.concatenate(st["a"], axis=1)
         rhc_ref[0, pi] = st["hcm"]
         rac_ref[0, pi] = st["ac"]
 
@@ -284,12 +319,13 @@ def _jnp_core(
     gradient semantics (stop-gradient through the hierarchical resample,
     `get_fine_points_from_sigma`'s torch.no_grad/.detach counterpart).
 
-    wt: (w0, b0, g0, f0, w1, b1, g1, f1, wc, bc, gc, fc, wr, br, ws, bs) —
-    weights f32 as stored, films (b, dim) f32, ws lane-padded (H, 8).
+    wt: flat weight tuple — ``(w_i, b_i, g_i, f_i)`` per hidden layer, then
+    ``(wc, bc, gc, fc, wr, br, ws, bs)`` — weights f32 as stored, films
+    (b, dim) f32, ws lane-padded (H, 8).
     Tensors: pts (b,n,S,3), org/dirs (b,n,3), z/u/nc (b,n,S), nf (b,n,2S),
     ns (1,1) — all f32.
     """
-    w0, b0, g0, f0, w1, b1, g1, f1, wc, bc, gc, fc, wr, br, ws, bs = wt
+    layers, (wc, bc, gc, fc, wr, br, ws, bs) = _split_wt(wt)
     if fast_sin:
         from cips3d_tpu.ops.fast_sin import fast_sin as _sin
     else:
@@ -300,13 +336,12 @@ def _jnp_core(
     dot = functools.partial(jnp.einsum, preferred_element_type=f32)
 
     def mlp(p):  # (b, N, 3) -> rgb (b, N, R) f32, sigma (b, N) f32
-        x = mm(p * warp_scale)
-        a0 = dot("bnk,kh->bnh", x, mm(w0)) + b0[0]
-        h0 = _sin(g0[:, None] * a0 + f0[:, None])
-        a1 = dot("bnk,kh->bnh", mm(h0), mm(w1)) + b1[0]
-        h1 = _sin(g1[:, None] * a1 + f1[:, None])
-        sig = dot("bnk,kh->bnh", mm(h1), mm(ws)) + bs[0]
-        ac = dot("bnk,kh->bnh", mm(h1), mm(wc)) + bc[0]
+        h = mm(p * warp_scale)
+        for w_, b_, g_, f_ in layers:
+            a = dot("bnk,kh->bnh", h, mm(w_)) + b_[0]
+            h = mm(_sin(g_[:, None] * a + f_[:, None]))
+        sig = dot("bnk,kh->bnh", h, mm(ws)) + bs[0]
+        ac = dot("bnk,kh->bnh", h, mm(wc)) + bc[0]
         hc = _sin(gc[:, None] * ac + fc[:, None])
         rgb = dot("bnk,kh->bnh", mm(hc), mm(wr)) + br[0]
         return rgb, sig[..., 0]
@@ -384,23 +419,18 @@ def _jnp_core(
 
 
 def _ray_tile_bwd_kernel(
-    # forward inputs (same layouts as _ray_tile_kernel)
-    pts_ref, org_ref, dir_ref, z_ref, u_ref, nc_ref, nf_ref, ns_ref,
-    w0_ref, b0_ref, g0_ref, f0_ref,
-    w1_ref, b1_ref, g1_ref, f1_ref,
-    wc_ref, bc_ref, gc_ref, fc_ref,
-    wr_ref, br_ref, ws_ref, bs_ref,
-    # cotangents
-    dfea_ref,   # (1, T, R)  out dtype
-    ddep_ref,   # (1, 1, T)  f32
-    # then EITHER 17 gradient-output refs (recompute mode) OR 4 residual
+    # Positional refs: the forward inputs (same layouts/order as
+    # _ray_tile_kernel — pts..ns, per-layer (w,b,g,f), head tail), then
+    #   dfea (1, T, R) out dtype · ddep (1, 1, T) f32 cotangents,
+    # then EITHER the gradient-output refs (recompute mode) OR 4 residual
     # input refs (rh, ra, rhc, rac — from the with_residuals forward)
-    # followed by the same 17 outputs (residual mode):
-    #   dw0, db0, dg0, df0, dw1, db1, dg1, df1, dwc, dbc, dgc, dfc,
-    #   dwr, dbr, dws, dbs (VMEM accumulators, wt order), dpts (per tile —
-    #   COARSE points only; fine points are detached)
-    *rest,
+    # followed by the same outputs (residual mode).  Gradient outputs:
+    #   per layer (dw, db, dg, df), then dwc, dbc, dgc, dfc, dwr, dbr,
+    #   dws, dbs (VMEM accumulators, wt order), dpts (per tile — COARSE
+    #   points only; fine points are detached).
+    *refs,
     S: int,
+    L: int,
     warp_scale: float,
     clamp_mode: str,
     white_back: bool,
@@ -417,16 +447,23 @@ def _ray_tile_bwd_kernel(
     fine points are fully detached — so origins/dirs/z/u/noise get ZERO
     cotangents (matching the reference; camera gradients flow through the
     differentiable coarse `pts` input, which does get its exact grad)."""
-    if len(rest) == 21:     # residual mode: 4 inputs precede the 17 outputs
+    pts_ref, org_ref, dir_ref, z_ref, u_ref, nc_ref, nf_ref, ns_ref = refs[:8]
+    hrefs = [tuple(refs[8 + 4 * i : 12 + 4 * i]) for i in range(L)]
+    (wc_ref, bc_ref, gc_ref, fc_ref, wr_ref, br_ref, ws_ref, bs_ref) = refs[
+        8 + 4 * L : 16 + 4 * L
+    ]
+    dfea_ref, ddep_ref = refs[16 + 4 * L : 18 + 4 * L]
+    rest = refs[18 + 4 * L :]
+    n_grad_out = 4 * L + 9      # per-layer grads + 8 head grads + dpts
+    if len(rest) == n_grad_out + 4:  # residual mode: 4 inputs precede outputs
         rh_ref, ra_ref, rhc_ref, rac_ref = rest[:4]
         out_refs = rest[4:]
     else:
         rh_ref = ra_ref = rhc_ref = rac_ref = None
         out_refs = rest
-    (dw0_ref, db0_ref, dg0_ref, df0_ref,
-     dw1_ref, db1_ref, dg1_ref, df1_ref,
-     dwc_ref, dbc_ref, dgc_ref, dfc_ref,
-     dwr_ref, dbr_ref, dws_ref, dbs_ref, dpts_ref) = out_refs
+    dh_refs = [tuple(out_refs[4 * i : 4 * i + 4]) for i in range(L)]
+    (dwc_ref, dbc_ref, dgc_ref, dfc_ref,
+     dwr_ref, dbr_ref, dws_ref, dbs_ref, dpts_ref) = out_refs[4 * L :]
     if fast_sin:
         from cips3d_tpu.ops.fast_sin import fast_sin as _sin
         from cips3d_tpu.ops.fast_sin import fast_sin_grad as _sin_grad
@@ -435,33 +472,36 @@ def _ray_tile_bwd_kernel(
         _sin_grad = jnp.cos
     f32 = jnp.float32
     T = z_ref.shape[2]
+    H = hrefs[0][0].shape[1]
     noise_std = ns_ref[0, 0]
     bi = pl.program_id(0)
     film = lambda ref: ref[pl.ds(bi, 1), :]
 
     @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
     def _init():
-        for ref in (
-            dw0_ref, db0_ref, dg0_ref, df0_ref, dw1_ref, db1_ref, dg1_ref,
-            df1_ref, dwc_ref, dbc_ref, dgc_ref, dfc_ref, dwr_ref, dbr_ref,
-            dws_ref, dbs_ref,
-        ):
+        for quad in dh_refs:
+            for ref in quad:
+                ref[:] = jnp.zeros_like(ref)
+        for ref in (dwc_ref, dbc_ref, dgc_ref, dfc_ref,
+                    dwr_ref, dbr_ref, dws_ref, dbs_ref):
             ref[:] = jnp.zeros_like(ref)
 
     def mlp_fwd(p_flat):
-        """Forward keeping pre-FiLM activations (a*) and mm-cast layer
-        inputs (x, h*m) — everything the backward needs, no extra sines."""
-        x = (p_flat * warp_scale).astype(mm_dtype)
-        a0 = jnp.dot(x, w0_ref[:], preferred_element_type=f32) + b0_ref[0]
-        h0m = _sin(film(g0_ref) * a0 + film(f0_ref)).astype(mm_dtype)
-        a1 = jnp.dot(h0m, w1_ref[:], preferred_element_type=f32) + b1_ref[0]
-        h1m = _sin(film(g1_ref) * a1 + film(f1_ref)).astype(mm_dtype)
-        sig = jnp.dot(h1m, ws_ref[:], preferred_element_type=f32) + bs_ref[0]
-        ac = jnp.dot(h1m, wc_ref[:], preferred_element_type=f32) + bc_ref[0]
+        """Forward keeping pre-FiLM activations (a) and mm-cast layer
+        inputs (x, h) — everything the backward needs, no extra sines."""
+        h = (p_flat * warp_scale).astype(mm_dtype)
+        x = h
+        acts, hids = [], []
+        for w_ref, b_ref, g_ref, f_ref in hrefs:
+            a = jnp.dot(h, w_ref[:], preferred_element_type=f32) + b_ref[0]
+            h = _sin(film(g_ref) * a + film(f_ref)).astype(mm_dtype)
+            acts.append(a)
+            hids.append(h)
+        sig = jnp.dot(h, ws_ref[:], preferred_element_type=f32) + bs_ref[0]
+        ac = jnp.dot(h, wc_ref[:], preferred_element_type=f32) + bc_ref[0]
         hcm = _sin(film(gc_ref) * ac + film(fc_ref)).astype(mm_dtype)
         rgb = jnp.dot(hcm, wr_ref[:], preferred_element_type=f32) + br_ref[0]
-        return dict(x=x, a0=a0, h0m=h0m, a1=a1, h1m=h1m, ac=ac, hcm=hcm,
-                    sig=sig, rgb=rgb)
+        return dict(x=x, a=acts, h=hids, ac=ac, hcm=hcm, sig=sig, rgb=rgb)
 
     rT = lambda a, b_: jax.lax.dot_general(  # a^T @ b over rows
         a, b_, (((0,), (0,)), ((), ())), preferred_element_type=f32)
@@ -486,47 +526,43 @@ def _ray_tile_bwd_kernel(
             [d_sig1, jnp.zeros((N, 7), f32)], axis=1)     # lane-padded head
         d_acm = mmc(d_ac)
         d_sig8m = mmc(d_sig8)
-        dwc_ref[:] += rT(s["h1m"], d_acm)
+        dwc_ref[:] += rT(s["h"][L - 1], d_acm)
         dbc_ref[:] += jnp.sum(d_ac, axis=0, keepdims=True)
-        dws_ref[:] += rT(s["h1m"], d_sig8m)
+        dws_ref[:] += rT(s["h"][L - 1], d_sig8m)
         dbs_ref[:] += jnp.sum(d_sig8, axis=0, keepdims=True)
-        d_h1 = bT(d_acm, wc_ref[:]) + bT(d_sig8m, ws_ref[:])
-        arg1 = film(g1_ref) * s["a1"] + film(f1_ref)
-        d_arg1 = d_h1 * _sin_grad(arg1)
-        dg1_ref[pl.ds(bi, 1), :] += jnp.sum(d_arg1 * s["a1"], axis=0, keepdims=True)
-        df1_ref[pl.ds(bi, 1), :] += jnp.sum(d_arg1, axis=0, keepdims=True)
-        d_a1 = d_arg1 * film(g1_ref)
-        d_a1m = mmc(d_a1)
-        dw1_ref[:] += rT(s["h0m"], d_a1m)
-        db1_ref[:] += jnp.sum(d_a1, axis=0, keepdims=True)
-        d_h0 = bT(d_a1m, w1_ref[:])
-        arg0 = film(g0_ref) * s["a0"] + film(f0_ref)
-        d_arg0 = d_h0 * _sin_grad(arg0)
-        dg0_ref[pl.ds(bi, 1), :] += jnp.sum(d_arg0 * s["a0"], axis=0, keepdims=True)
-        df0_ref[pl.ds(bi, 1), :] += jnp.sum(d_arg0, axis=0, keepdims=True)
-        d_a0 = d_arg0 * film(g0_ref)
-        d_a0m = mmc(d_a0)
-        dw0_ref[:] += rT(s["x"], d_a0m)
-        db0_ref[:] += jnp.sum(d_a0, axis=0, keepdims=True)
-        d_x = bT(d_a0m, w0_ref[:])                        # (N, 3)
-        return d_x * warp_scale
+        d_h = bT(d_acm, wc_ref[:]) + bT(d_sig8m, ws_ref[:])
+        for i in reversed(range(L)):
+            w_ref, _, g_ref, f_ref = hrefs[i]
+            dw_ref, db_ref, dg_ref, df_ref = dh_refs[i]
+            arg = film(g_ref) * s["a"][i] + film(f_ref)
+            d_arg = d_h * _sin_grad(arg)
+            dg_ref[pl.ds(bi, 1), :] += jnp.sum(
+                d_arg * s["a"][i], axis=0, keepdims=True)
+            df_ref[pl.ds(bi, 1), :] += jnp.sum(d_arg, axis=0, keepdims=True)
+            d_a = d_arg * film(g_ref)
+            d_am = mmc(d_a)
+            inp = s["h"][i - 1] if i > 0 else s["x"]
+            dw_ref[:] += rT(inp, d_am)
+            db_ref[:] += jnp.sum(d_a, axis=0, keepdims=True)
+            d_h = bT(d_am, w_ref[:])                      # (N, din)
+        return d_h * warp_scale                           # (N, 3)
 
     # ---- recompute forward (mirrors _ray_tile_kernel exactly) ------------
     # In residual mode the MLP states come from the forward's saved
     # h/pre-activation tensors (no sine recompute); only the cheap
     # sigma/rgb head matmuls and the (sine-free) resample re-run.
-    H = w0_ref.shape[1]
-
     def load_state(pi, p_flat):
-        hh = rh_ref[0, pi]                                # (S*T, 2H) mm
-        aa = ra_ref[0, pi]                                # (S*T, 2H) f32
-        h1m = hh[:, H:]
+        hh = rh_ref[0, pi]                                # (S*T, L*H) mm
+        aa = ra_ref[0, pi]                                # (S*T, L*H) f32
+        hids = [hh[:, i * H : (i + 1) * H] for i in range(L)]
+        acts = [aa[:, i * H : (i + 1) * H] for i in range(L)]
+        h_last = hids[L - 1]
         hcm = rhc_ref[0, pi]
         return dict(
             x=(p_flat * warp_scale).astype(mm_dtype),
-            a0=aa[:, :H], h0m=hh[:, :H], a1=aa[:, H:], h1m=h1m,
+            a=acts, h=hids,
             ac=rac_ref[0, pi], hcm=hcm,
-            sig=jnp.dot(h1m, ws_ref[:], preferred_element_type=f32) + bs_ref[0],
+            sig=jnp.dot(h_last, ws_ref[:], preferred_element_type=f32) + bs_ref[0],
             rgb=jnp.dot(hcm, wr_ref[:], preferred_element_type=f32) + br_ref[0],
         )
 
@@ -640,6 +676,35 @@ def _ray_tile_bwd_kernel(
     dpts_ref[0] = d_xc.reshape(S, T, 3)
 
 
+def _weight_block_specs(layers, C, R, film_spec, vspec, fixed):
+    """In-spec list for the weight tuple — per-layer (w, b, g, f) then the
+    head tail — shared by the forward and backward grid specs."""
+    specs = []
+    for w_, _, _, _ in layers:
+        specs += [
+            vspec(w_.shape, fixed), vspec((1, w_.shape[1]), fixed),
+            film_spec, film_spec,
+        ]
+    H = layers[-1][0].shape[1]
+    specs += [
+        vspec((H, C), fixed), vspec((1, C), fixed), film_spec, film_spec,
+        vspec((C, R), fixed), vspec((1, R), fixed),
+        vspec((H, 8), fixed), vspec((1, 8), fixed),
+    ]
+    return specs
+
+
+def _cast_wt(wt, mm_dtype):
+    """mm-cast the matmul weights (w_i, wc, wr, ws); films/biases stay f32."""
+    layers, (wc, bc, gc, fc, wr, br, ws, bs) = _split_wt(wt)
+    mm = lambda a: a.astype(mm_dtype)
+    out = []
+    for w_, b_, g_, f_ in layers:
+        out += [mm(w_), b_, g_, f_]
+    out += [mm(wc), bc, gc, fc, mm(wr), br, mm(ws), bs]
+    return out
+
+
 def _pallas_backward(
     wt, pts, org, dirs, z_sq, u, nc, nf, ns, d_fea, d_dep,
     *, tile, interpret, clamp_mode, white_back, last_back, use_noise,
@@ -649,10 +714,11 @@ def _pallas_backward(
     unpadded ray-major layouts of the primal inputs.  ``residuals``
     (rh, ra, rhc, rac from the with_residuals forward) switches the kernel
     to residual mode — no MLP recompute, XLA-parity 2x total sine count."""
-    w0, b0, g0, f0, w1, b1, g1, f1, wc, bc, gc, fc, wr, br, ws, bs = wt
+    layers, (wc, bc, gc, fc, wr, br, ws, bs) = _split_wt(wt)
+    L = len(layers)
     b, n, S, _ = pts.shape
     f32 = jnp.float32
-    H = w0.shape[1]
+    H = layers[0][0].shape[1]
     C = wc.shape[1]
     R = wr.shape[1]
 
@@ -673,13 +739,35 @@ def _pallas_backward(
     n_pad = n + pad
     n_tiles = n_pad // tile
 
-    mm = lambda a: a.astype(mm_dtype)
     ray_idx = lambda bi, ti: (bi, ti, 0)
     smj_idx = lambda bi, ti: (bi, 0, ti)
     smj_idx4 = lambda bi, ti: (bi, 0, ti, 0)
     fixed = lambda *_: (0, 0)
     vspec = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    grad_out_specs = []
+    grad_out_shape = []
+    sds = jax.ShapeDtypeStruct
+    for w_, _, _, _ in layers:
+        grad_out_specs += [
+            vspec(w_.shape, fixed), vspec((1, H), fixed), full, full,
+        ]
+        grad_out_shape += [
+            sds(w_.shape, f32), sds((1, H), f32), sds((b, H), f32), sds((b, H), f32),
+        ]
+    grad_out_specs += [
+        vspec((H, C), fixed), vspec((1, C), fixed), full, full,
+        vspec((C, R), fixed), vspec((1, R), fixed),
+        vspec((H, 8), fixed), vspec((1, 8), fixed),
+        vspec((1, S, tile, 3), smj_idx4),
+    ]
+    grad_out_shape += [
+        sds((H, C), f32), sds((1, C), f32), sds((b, C), f32), sds((b, C), f32),
+        sds((C, R), f32), sds((1, R), f32),
+        sds((H, 8), f32), sds((1, 8), f32),
+        sds((b, S, n_pad, 3), f32),
+    ]
 
     grid_spec = pl.GridSpec(
         grid=(b, n_tiles),
@@ -692,45 +780,28 @@ def _pallas_backward(
             vspec((1, S, tile), smj_idx),
             vspec((1, 2 * S, tile), smj_idx),
             pl.BlockSpec((1, 1), fixed, memory_space=pltpu.SMEM),
-            vspec((3, H), fixed), vspec((1, H), fixed), full, full,
-            vspec((H, H), fixed), vspec((1, H), fixed), full, full,
-            vspec((H, C), fixed), vspec((1, C), fixed), full, full,
-            vspec((C, R), fixed), vspec((1, R), fixed),
-            vspec((H, 8), fixed), vspec((1, 8), fixed),
+        ]
+        + _weight_block_specs(layers, C, R, full, vspec, fixed)
+        + [
             vspec((1, tile, R), ray_idx),
             vspec((1, 1, tile), smj_idx),
         ] + ([
-            vspec((1, 2, S * tile, 2 * H), lambda bi, ti: (bi, 0, ti, 0)),
-            vspec((1, 2, S * tile, 2 * H), lambda bi, ti: (bi, 0, ti, 0)),
+            vspec((1, 2, S * tile, L * H), lambda bi, ti: (bi, 0, ti, 0)),
+            vspec((1, 2, S * tile, L * H), lambda bi, ti: (bi, 0, ti, 0)),
             vspec((1, 2, S * tile, C), lambda bi, ti: (bi, 0, ti, 0)),
             vspec((1, 2, S * tile, C), lambda bi, ti: (bi, 0, ti, 0)),
         ] if residuals is not None else []),
-        out_specs=[
-            vspec((3, H), fixed), vspec((1, H), fixed), full, full,
-            vspec((H, H), fixed), vspec((1, H), fixed), full, full,
-            vspec((H, C), fixed), vspec((1, C), fixed), full, full,
-            vspec((C, R), fixed), vspec((1, R), fixed),
-            vspec((H, 8), fixed), vspec((1, 8), fixed),
-            vspec((1, S, tile, 3), smj_idx4),
-        ],
+        out_specs=grad_out_specs,
     )
     kernel = functools.partial(
         _ray_tile_bwd_kernel,
-        S=S, warp_scale=warp_scale, clamp_mode=clamp_mode,
+        S=S, L=L, warp_scale=warp_scale, clamp_mode=clamp_mode,
         white_back=white_back, last_back=last_back, use_noise=use_noise,
         fast_sin=fast_sin, mm_dtype=mm_dtype,
     )
-    sds = jax.ShapeDtypeStruct
     outs = pl.pallas_call(
         kernel,
-        out_shape=[
-            sds((3, H), f32), sds((1, H), f32), sds((b, H), f32), sds((b, H), f32),
-            sds((H, H), f32), sds((1, H), f32), sds((b, H), f32), sds((b, H), f32),
-            sds((H, C), f32), sds((1, C), f32), sds((b, C), f32), sds((b, C), f32),
-            sds((C, R), f32), sds((1, R), f32),
-            sds((H, 8), f32), sds((1, 8), f32),
-            sds((b, S, n_pad, 3), f32),
-        ],
+        out_shape=grad_out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
         # the recompute backward holds both passes' pre-activations plus the
@@ -741,16 +812,12 @@ def _pallas_backward(
         ),
     )(
         pts_p, org_p, dir_p, z_p, u_p, nc_p, nf_p, ns,
-        mm(w0), b0, g0, f0,
-        mm(w1), b1, g1, f1,
-        mm(wc), bc, gc, fc,
-        mm(wr), br,
-        mm(ws), bs,
+        *_cast_wt(wt, mm_dtype),
         dfea_p, ddep_p,
         *(residuals if residuals is not None else ()),
     )
-    d_wt = tuple(outs[:16])
-    d_pts = jnp.swapaxes(outs[16], 1, 2)[:, :n]
+    d_wt = tuple(outs[:-1])
+    d_pts = jnp.swapaxes(outs[-1], 1, 2)[:, :n]
     return d_wt, d_pts
 
 
@@ -767,7 +834,9 @@ def _make_core(
     wins for exact-sin training while 'pallas' wins under fast_sin),
     'jnp' = `jax.vjp` of the jnp mirror (reference implementation, used to
     validate the kernels).  Cached per static configuration so jit tracing
-    reuses one callable."""
+    reuses one callable.  The SIREN depth is carried by the length of the
+    weight tuple (4·L + 8 arrays), so one cached core serves every depth —
+    tracing re-specializes per shape anyway."""
     mm_dtype = jnp.dtype(mm_name)
     out_dtype = jnp.dtype(out_name)
     statics = dict(
@@ -867,6 +936,9 @@ def fused_ray_render(
     the XLA path (k_pdf, k_noise_coarse, k_noise_final) and the draws are
     made with the XLA path's shapes/dtypes, so results match on the same key.
 
+    The SIREN depth is inferred from `siren_params` (its `film_{i}` entries)
+    — any ``hidden_layers >= 1`` works; the kernels unroll over the layers.
+
     Differentiable: gradients flow to the SIREN params (through
     `extract_siren_weights`/`compute_films`) and to points/origins/dirs/z;
     the hierarchical resample is stop-gradient, matching the reference.
@@ -894,24 +966,29 @@ def fused_ray_render(
 
     weights = extract_siren_weights(siren_params)
     films = compute_films(siren_params, style_dict)
-    wt = (
-        weights["w0"].astype(f32), weights["b0"].reshape(1, -1).astype(f32),
-        films["g0"].astype(f32), films["f0"].astype(f32),
-        weights["w1"].astype(f32), weights["b1"].reshape(1, -1).astype(f32),
-        films["g1"].astype(f32), films["f1"].astype(f32),
+    L = num_hidden_layers(siren_params)
+    wt = []
+    for i in range(L):
+        wt += [
+            weights[f"w{i}"].astype(f32),
+            weights[f"b{i}"].reshape(1, -1).astype(f32),
+            films[f"g{i}"].astype(f32),
+            films[f"f{i}"].astype(f32),
+        ]
+    wt += [
         weights["wc"].astype(f32), weights["bc"].reshape(1, -1).astype(f32),
         films["gc"].astype(f32), films["fc"].astype(f32),
         weights["wr"].astype(f32), weights["br"].reshape(1, -1).astype(f32),
         jnp.pad(weights["ws"], ((0, 0), (0, 7))).astype(f32),
         jnp.pad(weights["bs"].reshape(1, 1), ((0, 0), (0, 7))).astype(f32),
-    )
+    ]
     core = _make_core(
         tile, clamp_mode, white_back, last_back, use_noise, fast_sin,
         jnp.dtype(mm_dtype).name, jnp.dtype(dtype).name, interpret,
         2.0 / box_sidelength, vjp_impl, tile_bwd,
     )
     return core(
-        wt, pts.astype(f32), origins.astype(f32), dirs.astype(f32),
+        tuple(wt), pts.astype(f32), origins.astype(f32), dirs.astype(f32),
         z_vals[..., 0].astype(f32), u.astype(f32), nc, nf, ns,
     )
 
@@ -927,10 +1004,11 @@ def _pallas_forward(
     additionally returns the per-pass hidden states / pre-activations
     (rh, ra, rhc, rac) so the backward kernel skips the MLP recompute —
     total sine count matches XLA's fwd+bwd (2x) instead of 3x."""
-    w0, b0, g0, f0, w1, b1, g1, f1, wc, bc, gc, fc, wr, br, ws, bs = wt
+    layers, (wc, bc, gc, fc, wr, br, ws, bs) = _split_wt(wt)
+    L = len(layers)
     b, n, S, _ = pts.shape
     f32 = jnp.float32
-    H = w0.shape[1]
+    H = layers[0][0].shape[1]
     C = wc.shape[1]
     R = wr.shape[1]
     dtype = out_dtype
@@ -955,8 +1033,6 @@ def _pallas_forward(
     n_pad = n + pad
     n_tiles = n_pad // tile
 
-    mm = lambda w: w.astype(mm_dtype)
-
     ray_idx = lambda bi, ti: (bi, ti, 0)            # (b, n_pad, 3) tensors
     smj_idx = lambda bi, ti: (bi, 0, ti)            # (b, S, n_pad) tensors
     smj_idx4 = lambda bi, ti: (bi, 0, ti, 0)        # (b, S, n_pad, 3)
@@ -976,21 +1052,14 @@ def _pallas_forward(
             vspec((1, S, tile), smj_idx),
             vspec((1, 2 * S, tile), smj_idx),
             pl.BlockSpec((1, 1), fixed, memory_space=pltpu.SMEM),
-            vspec((3, H), fixed), vspec((1, H), fixed),
-            bvec_spec, bvec_spec,
-            vspec((H, H), fixed), vspec((1, H), fixed),
-            bvec_spec, bvec_spec,
-            vspec((H, C), fixed), vspec((1, C), fixed),
-            bvec_spec, bvec_spec,
-            vspec((C, R), fixed), vspec((1, R), fixed),
-            vspec((H, 8), fixed), vspec((1, 8), fixed),
-        ],
+        ]
+        + _weight_block_specs(layers, C, R, bvec_spec, vspec, fixed),
         out_specs=[
             vspec((1, tile, R), ray_idx),
             vspec((1, 8, tile), smj_idx),
         ] + ([
-            vspec((1, 2, S * tile, 2 * H), lambda bi, ti: (bi, 0, ti, 0)),
-            vspec((1, 2, S * tile, 2 * H), lambda bi, ti: (bi, 0, ti, 0)),
+            vspec((1, 2, S * tile, L * H), lambda bi, ti: (bi, 0, ti, 0)),
+            vspec((1, 2, S * tile, L * H), lambda bi, ti: (bi, 0, ti, 0)),
             vspec((1, 2, S * tile, C), lambda bi, ti: (bi, 0, ti, 0)),
             vspec((1, 2, S * tile, C), lambda bi, ti: (bi, 0, ti, 0)),
         ] if with_residuals else []),
@@ -999,6 +1068,7 @@ def _pallas_forward(
     kernel = functools.partial(
         _ray_tile_kernel,
         S=S,
+        L=L,
         warp_scale=warp_scale,
         clamp_mode=clamp_mode,
         white_back=white_back,
@@ -1015,8 +1085,8 @@ def _pallas_forward(
     ]
     if with_residuals:
         out_shape += [
-            sds((b, 2, S * n_pad, 2 * H), mm_dtype),
-            sds((b, 2, S * n_pad, 2 * H), f32),
+            sds((b, 2, S * n_pad, L * H), mm_dtype),
+            sds((b, 2, S * n_pad, L * H), f32),
             sds((b, 2, S * n_pad, C), mm_dtype),
             sds((b, 2, S * n_pad, C), f32),
         ]
@@ -1029,18 +1099,14 @@ def _pallas_forward(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_pts * (3 * H + H * H + H * C + C * R + H)
+            flops=2 * n_pts * (3 * H + (L - 1) * H * H + H * C + C * R + H)
             + 2 * b * n_pad * (2 * S) ** 2 * 4,
             bytes_accessed=b * n_pad * (S * 3 + 6 + 5 * S + 2 * S + R + 8) * 4,
-            transcendentals=n_pts * (2 * H + C + 2),
+            transcendentals=n_pts * (L * H + C + 2),
         ),
     )(
         pts_p, org_p, dir_p, z_p, u_p, nc_p, nf_p, ns,
-        mm(w0), b0, g0, f0,
-        mm(w1), b1, g1, f1,
-        mm(wc), bc, gc, fc,
-        mm(wr), br,
-        mm(ws), bs,
+        *_cast_wt(wt, mm_dtype),
     )
     fea, dep = outs[0], outs[1]
     result = (fea[:, :n], jnp.swapaxes(dep[:, :1, :n], 1, 2))

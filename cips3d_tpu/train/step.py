@@ -112,7 +112,7 @@ def make_train_step(
         generator.cfg.fast_sin if cfg.fused_dphase is None else cfg.fused_dphase
     )
     d_cfg_overrides = {}
-    if fused_dphase and generator.cfg.nerf_hidden_layers == 2:
+    if fused_dphase:
         d_cfg_overrides["fused_ray"] = True
     if cfg.fused_dphase_inr and generator.cfg.inr_pre_rgb_dim == 3:
         # forward-only fused INR decode: fine here because the D-phase

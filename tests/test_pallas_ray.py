@@ -327,21 +327,90 @@ def test_camera_grads_pallas_bwd(setup):
             _assert_grads_close(ga, gb, msg=f"{impl}:{name}")
 
 
+def _depth_setup(hidden_layers):
+    """Siren + params + styles + rays for an arbitrary-depth SIREN."""
+    key = jax.random.PRNGKey(0)
+    siren = NeRFNetwork(
+        hidden_dim=H, hidden_layers=hidden_layers, rgb_dim=R, dtype=jnp.float32
+    )
+    styles = {
+        f"nerf_w{i}": jax.random.normal(jax.random.PRNGKey(1 + i), (B, STYLE))
+        for i in range(hidden_layers)
+    }
+    styles["nerf_rgb"] = jax.random.normal(jax.random.PRNGKey(9), (B, STYLE))
+    params = siren.init(key, jnp.zeros((B, 8, 3)), styles)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+    origins = jax.random.normal(k1, (B, N, 3)) * 0.05
+    dirs_raw = jax.random.normal(k2, (B, N, 3)) + jnp.array([0.0, 0.0, -1.0])
+    dirs = dirs_raw / jnp.linalg.norm(dirs_raw, axis=-1, keepdims=True)
+    base = jnp.linspace(0.88, 1.12, S)
+    jitter = jax.random.uniform(k3, (B, N, S)) * (0.24 / S)
+    z_vals = jnp.sort(base[None, None, :] + jitter, axis=-1)[..., None]
+    pts = origins[:, :, None, :] + dirs[:, :, None, :] * z_vals
+    return siren, params, styles, pts, origins, dirs, z_vals
+
+
+@pytest.mark.parametrize("depth", [1, 3])
+def test_forward_parity_depth(depth):
+    """The kernel is depth-generic (round-4 generalization of the round-3
+    film_0/film_1 hardcoding): forward parity at hidden_layers != 2."""
+    siren, params, styles, pts, origins, dirs, z_vals = _depth_setup(depth)
+    key = jax.random.PRNGKey(31)
+    ref_fea, ref_dep = xla_reference(
+        siren, params, styles, pts, origins, dirs, z_vals, key
+    )
+    fea, dep = fused_ray_render(
+        params["params"], styles, pts, origins, dirs, z_vals, key, tile=32,
+    )
+    np.testing.assert_allclose(np.asarray(fea), np.asarray(ref_fea), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dep), np.asarray(ref_dep), rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("impl", ["pallas", "pallas_residual"])
+@pytest.mark.parametrize("depth", [1, 3])
+def test_grad_parity_depth(depth, impl):
+    """Both hand-written backwards at hidden_layers != 2 vs the XLA path."""
+    siren, params, styles, pts, origins, dirs, z_vals = _depth_setup(depth)
+    key = jax.random.PRNGKey(32)
+
+    def loss_fused(params, styles):
+        fea, _ = fused_ray_render(
+            params["params"], styles, pts, origins, dirs, z_vals, key,
+            tile=32, tile_bwd=32, vjp_impl=impl,
+        )
+        return jnp.sum(fea * fea)
+
+    def loss_xla(params, styles):
+        fea, _ = xla_reference(siren, params, styles, pts, origins, dirs, z_vals, key)
+        return jnp.sum(fea * fea)
+
+    gp_f, gs_f = jax.grad(loss_fused, argnums=(0, 1))(params, styles)
+    gp_x, gs_x = jax.grad(loss_xla, argnums=(0, 1))(params, styles)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(gp_f),
+        jax.tree_util.tree_leaves_with_path(gp_x),
+    ):
+        _assert_grads_close(a, b, msg=f"d{depth}:{jax.tree_util.keystr(path)}")
+    for k in styles:
+        _assert_grads_close(gs_f[k], gs_x[k], msg=f"d{depth}:{k}")
+
+
 class TestConfigGates:
     """GeneratorConfig raises at construction when a fused kernel is
     requested outside its supported layout (round-3 verdict next #6) —
     previously the D-phase picker fell back silently and serving would
     KeyError inside extract_siren_weights."""
 
-    def test_fused_ray_requires_two_hidden_layers(self):
+    def test_fused_ray_depth_generic(self):
         from cips3d_tpu.models.generator import GeneratorConfig
 
-        with pytest.raises(ValueError, match="nerf_hidden_layers"):
-            GeneratorConfig(fused_ray=True, nerf_hidden_layers=3)
-        # depth 2 (the flagship layout) constructs fine
+        # the ray-tile kernel is depth-generic as of round 4: any depth >= 1
+        # constructs with fused_ray
         GeneratorConfig(fused_ray=True, nerf_hidden_layers=2)
-        # unfused depth-3 remains a supported architecture
-        GeneratorConfig(fused_ray=False, nerf_hidden_layers=3)
+        GeneratorConfig(fused_ray=True, nerf_hidden_layers=3)
+        GeneratorConfig(fused_ray=True, nerf_hidden_layers=1)
+        with pytest.raises(ValueError, match="nerf_hidden_layers"):
+            GeneratorConfig(fused_ray=True, nerf_hidden_layers=0)
 
     def test_fused_inr_requires_pre_rgb_3(self):
         from cips3d_tpu.models.generator import GeneratorConfig
@@ -356,10 +425,10 @@ class TestConfigGates:
         with pytest.raises(ValueError, match="fused_ray_vjp"):
             GeneratorConfig(fused_ray_vjp="typo")
 
-    def test_unfused_depth3_generator_trains(self):
-        """The auto-picker (train/step.py fused_dphase) must keep XLA for a
-        3-layer SIREN under fast_sin rather than erroring: build the step-fn
-        for a tiny depth-3 config and check it constructs."""
+    def test_depth3_generator_step_constructs(self):
+        """The auto-picker (train/step.py fused_dphase) now fuses a 3-layer
+        SIREN under fast_sin (depth-generic kernel): build the step-fn for a
+        tiny depth-3 config and check it constructs."""
         from cips3d_tpu.models.discriminator import DiscriminatorMultiScaleAux
         from cips3d_tpu.models.generator import (
             GeneratorConfig,
