@@ -57,9 +57,9 @@ def build(fast_sin: bool, fused_ray=None, fused_ray_vjp=None):
     tcfg = TrainConfig(
         img_size=IMG_SIZE,
         batch_size=BATCH,
-        # BENCH_DPHASE_INR=1 routes the D-phase fake INR decode through the
-        # fused CIPS-INR kernel (forward-only; candidate HBM-traffic win).
-        fused_dphase_inr=os.environ.get("BENCH_DPHASE_INR", "0") == "1",
+        # BENCH_DPHASE_INR=0 forces the XLA D-phase INR decode; default
+        # matches the shipped TrainConfig default (fused, round-4 A/B win).
+        fused_dphase_inr=os.environ.get("BENCH_DPHASE_INR", "1") == "1",
     )
     gen = GeneratorNerfINR(cfg=gcfg, dtype=jnp.bfloat16)
     disc = DiscriminatorMultiScaleAux(max_size=1024, dtype=jnp.bfloat16)

@@ -58,10 +58,13 @@ class TrainConfig:
     fused_dphase: Any = None
     # Run the D-phase fake generation's INR decode through the fused
     # CIPS-INR Pallas kernel (ops/pallas/inr_tile.py — forward-only, which
-    # is exactly what the stop-gradient D-phase forward needs).  Off by
-    # default until measured on-chip; candidate win is the ~20 HBM round
-    # trips of the (pixels, 512) activation that the XLA chain pays.
-    fused_dphase_inr: bool = False
+    # is exactly what the stop-gradient D-phase forward needs).  On by
+    # default since the round-4 clean A/B: r256 step 259.7 fused vs 274.2
+    # XLA ms/step (-5.3%, docs/r3_campaign/r256_{dinr,base}.log) — the win
+    # is the ~20 HBM round trips of the (pixels, 512) activation the XLA
+    # chain pays; at r64 it is neutral (107.3 vs 107.1 imgs/s).  Silently
+    # inert when `inr_pre_rgb_dim != 3` (kernel envelope, train/step.py).
+    fused_dphase_inr: bool = True
 
 
 class TrainState(flax.struct.PyTreeNode):

@@ -43,8 +43,9 @@ def main():
         diffaug=True,
         warmup_d=True,
         nerf_noise_disable=True,
-        # BENCH_DPHASE_INR=1: fused CIPS-INR kernel for the D-phase fakes
-        fused_dphase_inr=os.environ.get("BENCH_DPHASE_INR", "0") == "1",
+        # BENCH_DPHASE_INR=0: force the XLA D-phase INR decode (default
+        # matches the shipped TrainConfig default: fused, round-4 A/B win)
+        fused_dphase_inr=os.environ.get("BENCH_DPHASE_INR", "1") == "1",
     )
 
     gen = GeneratorNerfINR(cfg=gcfg, dtype=jnp.bfloat16)
