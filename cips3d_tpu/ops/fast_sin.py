@@ -1,4 +1,4 @@
-"""Range-reduced polynomial sine for SIREN inference.
+"""Range-reduced polynomial sine for the SIREN hot path.
 
 The SIREN point MLP is sin-throughput bound on TPU (round-1 profiling:
 ~1e9 sin evals per r256 forward at ~25G sin/s saturates the VPU; tiling and
@@ -13,9 +13,18 @@ P is a least-squares odd polynomial of degree 9 on [-0.5, 0.5] with max
 absolute error 1.7e-5 — far below one 8-bit quantization level (3.9e-3).
 About 9 VPU ops per element vs the several dozen of the full-accuracy sin.
 
-Used by the inference paths (`GeneratorConfig.fast_sin`,
-`ops/pallas/ray_tile.py`); training keeps exact `jnp.sin`
-(docs/sin_ab/REPORT.md: fast_sin converges ~10% worse at r64).
+**Internals always run in float32** regardless of the input dtype.  In a
+bf16 compute path the reduction `y - round(y)` would otherwise quantize the
+reduced argument to y's ULP (~0.03 at |y|≈16 → sine error up to 0.2 — a
+1000x blowup over the polynomial's own error, measured round 4; this, not
+the polynomial, caused the round-2 "fast_sin trains ~10% worse" A/B result).
+With f32 internals the bf16-input error is 2.0e-3, identical to
+`jnp.sin` on the same bf16 argument (tests/test_fast_sin.py), so the
+approximation is gradient-quality safe for training as well as serving
+(docs/sin_ab/REPORT.md round-4 addendum).
+
+Used by `GeneratorConfig.fast_sin` and `ops/pallas/ray_tile.py` (whose
+activations are already f32 in-kernel, so the upcast is a no-op there).
 """
 
 from __future__ import annotations
@@ -31,18 +40,23 @@ _C5 = 81.40008976706686
 _C7 = -74.67588386951022
 _C9 = 33.16809461334938
 
+_F32 = jnp.float32
+
 
 def fast_sin(x: jnp.ndarray) -> jnp.ndarray:
-    """Approximate elementwise sine (see module docstring for error bounds)."""
-    y = x * jnp.asarray(_INV_2PI, x.dtype)
+    """Approximate elementwise sine (see module docstring for error bounds).
+
+    Computed in float32 internally; the result is cast back to ``x.dtype``.
+    """
+    y = x.astype(_F32) * _F32(_INV_2PI)
     r = y - jnp.round(y)
     r2 = r * r
-    p = jnp.asarray(_C9, x.dtype)
-    p = p * r2 + jnp.asarray(_C7, x.dtype)
-    p = p * r2 + jnp.asarray(_C5, x.dtype)
-    p = p * r2 + jnp.asarray(_C3, x.dtype)
-    p = p * r2 + jnp.asarray(_C1, x.dtype)
-    return r * p
+    p = _F32(_C9)
+    p = p * r2 + _F32(_C7)
+    p = p * r2 + _F32(_C5)
+    p = p * r2 + _F32(_C3)
+    p = p * r2 + _F32(_C1)
+    return (r * p).astype(x.dtype)
 
 
 def fast_sin_grad(x: jnp.ndarray) -> jnp.ndarray:
@@ -51,17 +65,18 @@ def fast_sin_grad(x: jnp.ndarray) -> jnp.ndarray:
     argument, fast_sin = r·p(r²), so
     d/dx = (1/2π)·(p(r²) + 2r²·p'(r²)).  Used by the fused ray-tile
     kernel's hand-written backward (ops/pallas/ray_tile.py) so its grads
-    match autodiff of the fast_sin XLA path."""
-    y = x * jnp.asarray(_INV_2PI, x.dtype)
+    match autodiff of the fast_sin XLA path.  f32 internals, like
+    `fast_sin`."""
+    y = x.astype(_F32) * _F32(_INV_2PI)
     r = y - jnp.round(y)
     r2 = r * r
-    p = jnp.asarray(_C9, x.dtype)
-    p = p * r2 + jnp.asarray(_C7, x.dtype)
-    p = p * r2 + jnp.asarray(_C5, x.dtype)
-    p = p * r2 + jnp.asarray(_C3, x.dtype)
-    p = p * r2 + jnp.asarray(_C1, x.dtype)
-    dp = 4.0 * jnp.asarray(_C9, x.dtype)
-    dp = dp * r2 + 3.0 * jnp.asarray(_C7, x.dtype)
-    dp = dp * r2 + 2.0 * jnp.asarray(_C5, x.dtype)
-    dp = dp * r2 + jnp.asarray(_C3, x.dtype)
-    return jnp.asarray(_INV_2PI, x.dtype) * (p + 2.0 * r2 * dp)
+    p = _F32(_C9)
+    p = p * r2 + _F32(_C7)
+    p = p * r2 + _F32(_C5)
+    p = p * r2 + _F32(_C3)
+    p = p * r2 + _F32(_C1)
+    dp = 4.0 * _F32(_C9)
+    dp = dp * r2 + 3.0 * _F32(_C7)
+    dp = dp * r2 + 2.0 * _F32(_C5)
+    dp = dp * r2 + _F32(_C3)
+    return (_F32(_INV_2PI) * (p + 2.0 * r2 * dp)).astype(x.dtype)

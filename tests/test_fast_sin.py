@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cips3d_tpu.models.generator import GeneratorConfig, GeneratorNerfINR, RenderOptions, sample_zs
-from cips3d_tpu.ops.fast_sin import fast_sin
+from cips3d_tpu.ops.fast_sin import fast_sin, fast_sin_grad
 
 GCFG = GeneratorConfig(
     z_dim_nerf=16, z_dim_inr=32, nerf_hidden_dim=16, nerf_style_dim=16,
@@ -19,6 +19,28 @@ def test_accuracy_over_siren_range():
     x = jnp.linspace(-150.0, 150.0, 200001)
     err = np.abs(np.asarray(fast_sin(x)) - np.sin(np.asarray(x)))
     assert err.max() < 5e-5, err.max()
+
+
+def test_bf16_matches_exact_sin():
+    """f32 internals (round-4 fix): on bf16 inputs fast_sin must match
+    jnp.sin-on-the-same-bf16-argument to within bf16 output rounding —
+    NOT the 0.2 absolute error the old bf16-internal reduction produced
+    (y - round(y) quantized to ULP(y)).  This is what makes fast_sin
+    gradient-quality safe for bf16 training."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-150, 150, size=100000), jnp.bfloat16)
+    arg = np.asarray(x, np.float64)          # the quantized argument
+    exact = np.abs(np.asarray(jnp.sin(x), np.float64) - np.sin(arg)).max()
+    fast = np.abs(np.asarray(fast_sin(x), np.float64) - np.sin(arg)).max()
+    assert fast < 1.5 * max(exact, 2e-3), (fast, exact)
+    # derivative path (used by the fused kernel's hand-written backward)
+    g = np.abs(np.asarray(fast_sin_grad(x), np.float64) - np.cos(arg)).max()
+    assert g < 5e-3, g
+    # autodiff of fast_sin agrees with fast_sin_grad through the casts
+    xs = x[:512].astype(jnp.float32)
+    auto = jax.vmap(jax.grad(lambda v: fast_sin(v)))(xs)
+    np.testing.assert_allclose(
+        np.asarray(auto), np.asarray(fast_sin_grad(xs)), rtol=0, atol=1e-5)
 
 
 def test_generator_output_close():
