@@ -10,7 +10,10 @@
 # finished phases are never re-run and never misreported as FAIL.
 
 probe() {
-  timeout 240 python -c "
+  # 420s: remote compile through the relay is 1-3 min and per-dispatch
+  # latency grows with tunnel age (CLAUDE.md); 240s produced false
+  # "tunnel down" verdicts while a 300s-budget manual probe succeeded.
+  timeout 420 python -c "
 import jax, jax.numpy as jnp
 float((jnp.ones((128,128)) @ jnp.ones((128,128))).sum())
 print('TUNNEL_OK')" 2>&1 | grep -q TUNNEL_OK
