@@ -9,6 +9,27 @@
 # markers (created by bare `touch` in the original round-3 script) so
 # finished phases are never re-run and never misreported as FAIL.
 
+# Double-launch guard (auto-acquired when this lib is sourced): two
+# concurrent campaign instances over one RES interleave writers on the same
+# logs and resume/checkpoint trees (round 4: a duplicate run_sin_ab_r4.sh
+# launch put two trainers in results/sin_ab_r4/exact simultaneously).
+# mkdir is the atomic primitive; a lock whose recorded PID is dead is stale
+# and reclaimed.
+acquire_campaign_lock() {
+  local lock="$RES/.campaign.lock" holder
+  mkdir -p "$RES"
+  if ! mkdir "$lock" 2>/dev/null; then
+    holder=$(cat "$lock/pid" 2>/dev/null || echo 0)
+    if [ "$holder" -gt 0 ] 2>/dev/null && kill -0 "$holder" 2>/dev/null; then
+      echo "[campaign] another instance (pid $holder) owns $RES — refusing to double-launch" >&2
+      exit 1
+    fi
+    echo "[campaign] reclaiming stale lock (pid ${holder:-?} is dead)"
+  fi
+  echo $$ > "$lock/pid"
+  trap 'rm -rf "$RES/.campaign.lock"' EXIT
+}
+
 probe() {
   # 420s: remote compile through the relay is 1-3 min and per-dispatch
   # latency grows with tunnel age (CLAUDE.md); 240s produced false
@@ -73,8 +94,11 @@ campaign_summary() {
 seal_results() {
   local dir="${1:-$RES}"
   date -u +"sealed %Y-%m-%dT%H:%M:%SZ" > "$dir/CAMPAIGN_SEALED"
-  ( cd "$dir" && find . -type f ! -name MANIFEST.sha256 -print0 \
+  ( cd "$dir" && find . -type f ! -name MANIFEST.sha256 \
+        ! -path './.campaign.lock/*' -print0 \
       | sort -z | xargs -0 sha256sum > MANIFEST.sha256 )
-  find "$dir" -type f -exec chmod a-w {} +
+  find "$dir" -type f ! -path "$dir/.campaign.lock/*" -exec chmod a-w {} +
   echo "[campaign] sealed $dir ($(wc -l < "$dir/MANIFEST.sha256") files)"
 }
+
+acquire_campaign_lock
