@@ -247,10 +247,28 @@ def train(
             ema_params=loaded["G_ema"],
             d_params=loaded["discriminator"],
         )
+        # Exact resume: the resume tree also carries both Adam states (mu/nu
+        # moments + step count) — restoring params alone silently resets the
+        # optimizers, which perturbs training right where a crash/preemption
+        # retry resumes (found by the round-4 sin-A/B campaign retry logic).
+        # Older resume trees predate the opt npz files; they still load,
+        # moments start fresh (the previous behavior).
+        rdir = os.path.join(ckpt_mgr.ckpt_dir, "resume")
+        opt_refs = {
+            nm: ref
+            for nm, ref in (("g_opt", state.g_opt), ("d_opt", state.d_opt))
+            if os.path.exists(os.path.join(rdir, f"{nm}.npz"))
+        }
+        if opt_refs:
+            state = state.replace(**ckpt_mgr.load_snapshot("resume", opt_refs))
         start_state.update(ckpt_mgr.load_state("resume"))
         # numpy (uncommitted) so the re-sharding jit below can place it on the
         # global mesh under multi-process
         state = state.replace(step=np.asarray(start_state["step"], np.int32))
+        # Decorrelate the RNG chain from the run's own early steps: the loop
+        # key restarts from PRNGKey(seed), so without this a resume at step N
+        # would replay the step-0.. noise/camera/z draws.
+        key = jax.random.fold_in(key, int(start_state["step"]))
     elif finetune_dir:
         # weights only, step restarts (`train.py:262-271`)
         print(f"loading finetune weights from {finetune_dir}", flush=True)
@@ -289,7 +307,10 @@ def train(
     loader = DataLoader(
         dataset,
         batch_size=local_batch,
-        seed=loop_cfg.seed,
+        # offset by the resumed step so a resumed run draws a fresh shuffle
+        # instead of replaying the epoch-0 order it already consumed
+        # (identical across processes: step comes from the checkpoint)
+        seed=loop_cfg.seed + int(start_state["step"]),
         shard_index=jax.process_index(),
         num_shards=jax.process_count(),
         num_workers=loop_cfg.num_workers,
@@ -661,7 +682,19 @@ def _run_eval_and_checkpoint_inner(
             host_state["best_fid"] = fid_val
             ckpt_mgr.save_snapshot("best_fid", modules, dict(host_state), info)
         ckpt_mgr.save_backup(modules, dict(host_state), info)
-        ckpt_mgr.save_snapshot("resume", modules, dict(host_state), info)
+        # only the resume tree carries optimizer state (2x params of extra
+        # disk per tree is wasted on best_fid/backups, which exist for
+        # weights-only finetune/eval — `train.py:262-271` semantics)
+        ckpt_mgr.save_snapshot(
+            "resume",
+            dict(
+                modules,
+                g_opt=jax.device_get(state.g_opt),
+                d_opt=jax.device_get(state.d_opt),
+            ),
+            dict(host_state),
+            info,
+        )
         try:
             save_monitor_images(
                 generator,

@@ -77,11 +77,27 @@ class TestTrainLoopSmoke:
             fixed_z_bs=2, num_workers=1, debug=True,
         )
         kwargs = dict(disc_kwargs={"max_size": 16, "channels_override": TINY}, n_devices=2)
-        train(GCFG, tcfg, opts, lcfg, **kwargs)
-        # resume: loads step 2; with total=2 (debug) the loop body is a no-op
+        first = train(GCFG, tcfg, opts, lcfg, **kwargs)
+        # the resume tree must carry BOTH Adam states (exact resume; a
+        # params-only restore silently resets the moments)
+        resume_dir = os.path.join(outdir, "ckptdir", "resume")
+        assert os.path.exists(os.path.join(resume_dir, "g_opt.npz"))
+        assert os.path.exists(os.path.join(resume_dir, "d_opt.npz"))
+        # resume: loads step 2; with total=2 (debug) the loop body is a no-op,
+        # so the returned optimizer state is exactly the checkpointed one
         lcfg2 = dataclasses.replace(lcfg)
         state = train(GCFG, tcfg, opts, lcfg2, resume=True, **kwargs)
         assert int(state.step) >= 2
+        for a, b in zip(
+            jax.tree_util.tree_leaves(first.g_opt),
+            jax.tree_util.tree_leaves(state.g_opt),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+        mu_norms = [
+            float(np.abs(np.asarray(x)).sum())
+            for x in jax.tree_util.tree_leaves(state.d_opt)
+        ]
+        assert sum(mu_norms) > 0.0  # moments actually restored, not zeros
 
 
 def test_final_eval_checkpoint(data_zip, tmp_path):

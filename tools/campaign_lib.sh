@@ -65,6 +65,14 @@ run_phase() {  # name timeout_s env_pairs... -- cmd...
     return 0
   fi
   echo "[campaign] $name: starting ($(date))"
+  if [ -e "$RES/$name.log" ]; then
+    # rotate, never overwrite: a retry's log must not clobber the evidence
+    # of what the previous attempt did (round-4: a retry erased the first
+    # 4250 steps of a sin-A/B leg's log)
+    local i=1
+    while [ -e "$RES/$name.log.$i" ]; do i=$((i + 1)); done
+    mv "$RES/$name.log" "$RES/$name.log.$i"
+  fi
   if env "${envs[@]}" timeout "$tmo" "$@" > "$RES/$name.log" 2>&1; then
     echo done > "$RES/$name.done"
     echo "[campaign] $name: OK"

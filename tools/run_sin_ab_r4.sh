@@ -30,6 +30,11 @@ for mode in exact fast; do
   for attempt in 1 2 3; do
     [ -s "$RES/$mode.done" ] && break
     [ "$attempt" -gt 1 ] && echo "[sin_ab_r4] $mode: retry $attempt (resumes from $RES/$mode resume tree)"
+    # `resume true` is a no-op on the first attempt (no resume snapshot
+    # yet) and makes retries continue from the checkpoint instead of
+    # restarting at step 0 — the restart both wastes tunnel time and
+    # contaminates the textdir curves with duplicate step ranges.  The
+    # resume tree carries optimizer state, so the retry is exact.
     run_phase "$mode" 7200 -- \
       python -m cips3d_tpu.train.cli \
         --config configs/synthetic_progressive.yaml --command train_r64 --opts \
@@ -37,6 +42,7 @@ for mode in exact fast; do
         outdir "$RES/$mode" \
         archive_eval_images true \
         total_iters "$ITERS" \
+        resume true \
         load_finetune false
   done
 done
