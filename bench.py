@@ -26,7 +26,10 @@ import jax.numpy as jnp
 BASELINE_IMGS_PER_SEC_PER_CHIP = 200000 * 32 / (2 * 86400) / 8  # ≈ 4.63
 
 IMG_SIZE = 64
-BATCH = 4
+# BENCH_BATCH: probe other batch sizes (the driver series is batch 4; the
+# sin-A/B training config runs batch 8 — kernel perf is tile/grid-shaped,
+# so batch generalization must be measured, not assumed).
+BATCH = int(os.environ.get("BENCH_BATCH", "4"))
 
 
 def build(fast_sin: bool, fused_ray=None, fused_ray_vjp=None):
@@ -60,6 +63,10 @@ def build(fast_sin: bool, fused_ray=None, fused_ray_vjp=None):
         # BENCH_DPHASE_INR=0 forces the XLA D-phase INR decode; default
         # matches the shipped TrainConfig default (fused, round-4 A/B win).
         fused_dphase_inr=os.environ.get("BENCH_DPHASE_INR", "1") == "1",
+        # BENCH_DPHASE=0/1 forces the D-phase fused ray-tile kernel off/on;
+        # unset keeps the shipped auto-picker (on iff fast_sin).
+        fused_dphase=(None if "BENCH_DPHASE" not in os.environ
+                      else os.environ["BENCH_DPHASE"] == "1"),
     )
     gen = GeneratorNerfINR(cfg=gcfg, dtype=jnp.bfloat16)
     disc = DiscriminatorMultiScaleAux(max_size=1024, dtype=jnp.bfloat16)

@@ -35,10 +35,20 @@ for mode in exact fast; do
     # restarting at step 0 — the restart both wastes tunnel time and
     # contaminates the textdir curves with duplicate step ranges.  The
     # resume tree carries optimizer state, so the retry is exact.
+    # fused_dphase false on BOTH legs: the auto-picker (on iff fast_sin)
+    # would make the legs differ in the D-phase renderer as well as the
+    # sine — a two-variable experiment.  Forcing false keeps the only
+    # difference the sine implementation; the exact leg's auto-pick
+    # already resolved to false, so this changes nothing there.  (The
+    # first fast-leg attempt ran 6.4 img/s and initially implicated the
+    # kernel, but an identical rerun after the tunnel session cycled hit
+    # 124.8 img/s with the kernel ON — the slowdown was tunnel-state,
+    # not the kernel; see docs/r3_campaign notes + probe_gspmd_kernel.)
     run_phase "$mode" 7200 -- \
       python -m cips3d_tpu.train.cli \
         --config configs/synthetic_progressive.yaml --command train_r64 --opts \
         generator.fast_sin "$flag" \
+        fused_dphase false \
         outdir "$RES/$mode" \
         archive_eval_images true \
         total_iters "$ITERS" \
