@@ -1,13 +1,15 @@
 """Benchmark: flagship r64 adversarial train step, images/sec/chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
-``value`` is the fast_sin configuration (the historical driver series);
-``exact_sin_imgs_per_sec`` reports the shipped FFHQ-recipe default (exact
-``jnp.sin``) in the same session, and ``loader_imgs_per_sec`` the real-data
-pipeline (zip loader -> normalize -> per-step dispatch) — both first-class
-driver numbers per the round-3 verdict (next #3).  Setting BENCH_FAST_SIN
-explicitly (the campaign scripts do) measures that single configuration
-only, preserving the per-phase campaign semantics.
+``value`` is the fast_sin configuration — since round 5 this IS the shipped
+FFHQ-recipe default (sin A/B v2, docs/sin_ab_r4/REPORT.md: fixed fast_sin
+wins both quality and +30% throughput, rank-stable over 3 extractor seeds);
+``exact_sin_imgs_per_sec`` reports the exact-``jnp.sin`` alternate (paired
+with its winning fused residual-VJP G-phase) in the same session, and
+``loader_imgs_per_sec`` the real-data pipeline (zip loader -> normalize ->
+per-step dispatch).  Setting BENCH_FAST_SIN explicitly (the campaign
+scripts do) measures that single configuration only, preserving the
+per-phase campaign semantics.
 
 Baseline: the reference trains FFHQ r64 for 200k iters at batch 4/GPU on
 8 GPUs in "about 2 days or less" (README.md:201-202) →
@@ -139,13 +141,13 @@ def main():
         # (each campaign phase is its own process; see tools/run_r4_campaign.sh).
         imgs_per_sec, state, step_fn = measure(forced == "1")
     else:
-        # Driver mode: fast_sin series number + the shipped exact-sin default
-        # in the same session, so the flagship-default throughput is a
-        # first-class round artifact (VERDICT r3 next #3).
+        # Driver mode: the shipped flagship config (fast_sin since round 5)
+        # + the exact-sin alternate in the same session, so both sine modes
+        # remain first-class round artifacts (VERDICT r3 next #3).
         imgs_per_sec, state, step_fn = measure(True)
         try:
-            # the shipped FFHQ-recipe G-phase config (configs/ffhq.yaml):
-            # exact sin + fused ray-tile kernel with the residual VJP
+            # the exact-sin alternate in ITS winning G-phase pairing
+            # (fused ray-tile kernel, residual VJP — docs/r3_campaign)
             exact, _, _ = measure(
                 False, n_calls=2, fused_ray=True, fused_ray_vjp="pallas_residual"
             )

@@ -112,7 +112,11 @@ def make_train_step(
         generator.cfg.fast_sin if cfg.fused_dphase is None else cfg.fused_dphase
     )
     d_cfg_overrides = {}
-    if fused_dphase:
+    if fused_dphase and generator.cfg.nerf_hidden_layers >= 1:
+        # depth guard mirrors the fused_dphase_inr envelope check below: the
+        # ray-tile kernel requires >=1 hidden layer, and an auto-picked flag
+        # must not raise about a knob the user never set (a depth-0 fast_sin
+        # config silently keeps the XLA D-phase, as it did pre-auto-pick)
         d_cfg_overrides["fused_ray"] = True
     if cfg.fused_dphase_inr and generator.cfg.inr_pre_rgb_dim == 3:
         # forward-only fused INR decode: fine here because the D-phase

@@ -24,7 +24,16 @@ acquire_campaign_lock() {
       echo "[campaign] another instance (pid $holder) owns $RES — refusing to double-launch" >&2
       exit 1
     fi
+    # stale reclaim must go back through the atomic mkdir: two launchers
+    # that both observe the dead pid would otherwise both fall through and
+    # double-launch (advisor round-4 TOCTOU finding) — only the mkdir
+    # winner proceeds
     echo "[campaign] reclaiming stale lock (pid ${holder:-?} is dead)"
+    rm -rf "$lock"
+    if ! mkdir "$lock" 2>/dev/null; then
+      echo "[campaign] lost the reclaim race for $RES — refusing to double-launch" >&2
+      exit 1
+    fi
   fi
   echo $$ > "$lock/pid"
   trap 'rm -rf "$RES/.campaign.lock"' EXIT
@@ -88,6 +97,10 @@ campaign_summary() {
   for f in "$RES"/*.log; do
     [ -e "$f" ] || continue
     n=$(basename "$f" .log)
+    # the outer wrapper's own log lives in $RES too and has no .done marker;
+    # it is not a phase and must not be reported FAIL (round-4: the sin A/B
+    # driver log ended "[FAIL]" with both legs green)
+    [ "$n" = campaign_driver ] && continue
     if [ -s "$RES/$n.done" ] || grep -q '{"metric"' "$f"; then s=OK; else s=FAIL; fi
     echo "== $n [$s]"
     grep -E '\{"metric"|ms/step|fps|imgs' "$f" | tail -n 2

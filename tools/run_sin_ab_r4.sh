@@ -57,5 +57,15 @@ for mode in exact fast; do
   done
 done
 campaign_summary
-seal_results "$RES"
-echo "=== sin A/B v2 done ==="
+# seal only a COMPLETE campaign: run_phase returns 0 even on FAILED/TIMEOUT
+# (it waits for the tunnel and lets the attempt loop retry), so after three
+# exhausted attempts control still reaches here — sealing an incomplete tree
+# would chmod it read-only and make _refuse_sealed_outdir block the very
+# checkpoint resume the retry logic depends on (advisor round-4).
+if [ -s "$RES/exact.done" ] && [ -s "$RES/fast.done" ]; then
+  seal_results "$RES"
+  echo "=== sin A/B v2 done ==="
+else
+  echo "=== sin A/B v2 INCOMPLETE — not sealing (rerun to resume) ===" >&2
+  exit 1
+fi
