@@ -62,6 +62,29 @@ def main(argv=None):
     initialize_multihost()  # no-op unless CIPS3D_COORDINATOR/… are set
     args = parse_args(argv)
     cfg = resolve_command(args.config, args.command, args.opts)
+
+    # variant pipelines (`pipeline: diffcam|pigan` in the command node) run
+    # through the shared variant driver; default is the flagship loop
+    pipeline_name = cfg.get("pipeline", "cips3d")
+    if pipeline_name in ("diffcam", "pigan"):
+        from cips3d_tpu.train import variant_loop
+
+        lc_fields = {f for f in LoopConfig.__dataclass_fields__}
+        loop_cfg = LoopConfig(
+            **{k: v for k, v in cfg.to_dict().items() if k in lc_fields})
+        if args.debug:
+            loop_cfg.debug = True
+        loop_cfg.outdir = cfg.get("outdir", args.outdir) + f"/{args.command}"
+        print(f"resolved config:\n{dump_config(cfg)}", flush=True)
+        build = (variant_loop.build_diffcam_pipeline if pipeline_name == "diffcam"
+                 else variant_loop.build_pigan_pipeline)
+        kw = train_kwargs_from_config(cfg)
+        kw.pop("load_nerf_ema", None)  # flagship-only (freeze-NeRF chaining)
+        variant_loop.run_variant_loop(build(cfg), loop_cfg, **kw)
+        return 0
+    if pipeline_name != "cips3d":
+        raise SystemExit(f"unknown pipeline {pipeline_name!r}")
+
     gen_cfg, train_cfg, opts, loop_cfg = config_to_dataclasses(cfg)
     if args.debug:
         loop_cfg.debug = True

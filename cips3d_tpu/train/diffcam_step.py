@@ -109,13 +109,17 @@ def make_diffcam_train_step(
 
     def step_fn(state: DiffcamTrainState, real_imgs, key):
         step = state.step
+        # uint8 loader batches normalize on device (`to_norm_tensor`
+        # analogue, same convention as the flagship step)
+        if real_imgs.dtype == jnp.uint8:
+            real_imgs = real_imgs.astype(jnp.float32) / 127.5 - 1.0
         alpha = alpha_schedule(step, cfg.warmup_d, cfg.fade_steps)
         k_d, k_z, k_g = jax.random.split(key, 3)
 
         d_grads, d_metrics = jax.grad(d_loss_fn, has_aux=True)(
             state.d_params, state.g_params, state.cam_params, real_imgs, step, alpha, k_d
         )
-        d_grads, d_norm, _ = clip_and_guard(d_grads, cfg.grad_clip)
+        d_grads, d_norm, d_finite = clip_and_guard(d_grads, cfg.grad_clip)
         d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
         d_params = jax.tree_util.tree_map(jnp.add, state.d_params, d_updates)
 
@@ -123,8 +127,8 @@ def make_diffcam_train_step(
         (g_grads, cam_grads), g_metrics = jax.grad(g_loss_fn, has_aux=True)(
             (state.g_params, state.cam_params), d_params, zs, step, alpha, k_g
         )
-        g_grads, g_norm, _ = clip_and_guard(g_grads, cfg.grad_clip)
-        cam_grads, cam_norm, _ = clip_and_guard(cam_grads, cfg.grad_clip)
+        g_grads, g_norm, g_finite = clip_and_guard(g_grads, cfg.grad_clip)
+        cam_grads, cam_norm, cam_finite = clip_and_guard(cam_grads, cfg.grad_clip)
         g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
         g_params = jax.tree_util.tree_map(jnp.add, state.g_params, g_updates)
         cam_updates, cam_opt = cam_tx.update(cam_grads, state.cam_opt, state.cam_params)
@@ -137,7 +141,14 @@ def make_diffcam_train_step(
         )
         metrics: Dict[str, Any] = dict(d_metrics)
         metrics.update(g_metrics)
-        metrics.update({"d_total_norm": d_norm, "g_total_norm": g_norm, "cam_total_norm": cam_norm})
+        metrics.update({
+            "d_total_norm": d_norm, "g_total_norm": g_norm, "cam_total_norm": cam_norm,
+            # finite flags feed the host loop's *_crupted NaN-guard dumps
+            # (`scripts/train.py:420-435` semantics); camera grads ride the
+            # G phase, so a non-finite camera step reports as g_finite=0
+            "d_finite": d_finite.astype(jnp.float32),
+            "g_finite": (g_finite & cam_finite).astype(jnp.float32),
+        })
         return new_state, metrics
 
     return step_fn

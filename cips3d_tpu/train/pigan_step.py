@@ -136,6 +136,9 @@ def make_pigan_train_step(
         from cips3d_tpu.train.schedules import alpha_schedule
 
         step = state.step
+        # uint8 loader batches normalize on device (flagship convention)
+        if real_imgs.dtype == jnp.uint8:
+            real_imgs = real_imgs.astype(jnp.float32) / 127.5 - 1.0
         alpha = alpha_schedule(step, cfg.warmup_d, cfg.fade_steps)
         k_d, k_z, k_g = jax.random.split(key, 3)
 
