@@ -73,7 +73,11 @@ def aux_channels(channel_multiplier: int = 2) -> Dict[int, int]:
 
 
 class ConvLayer(nn.Module):
-    """Conv with optional blur-down / up-blur and fused activation."""
+    """Conv with optional blur-down / up-blur and fused activation.
+
+    ``data_format`` (activation layout only — weights stay OIHW / (C,), so
+    checkpoints are layout-agnostic) exists for the NHWC discriminator
+    prototype (docs/r256_step_analysis.md copy-tail item)."""
 
     out_channel: int
     kernel_size: int
@@ -82,13 +86,14 @@ class ConvLayer(nn.Module):
     use_bias: bool = True
     activate: bool = True
     dtype: Any = jnp.float32
+    data_format: str = "NCHW"
 
     @nn.compact
     def __call__(self, x):
         kernel = make_kernel(BLUR_KERNEL)
         if self.downsample:
             pad = blur_pad_down(BLUR_KERNEL, self.kernel_size)
-            x = upfirdn2d(x, kernel, pad=pad)
+            x = upfirdn2d(x, kernel, pad=pad, data_format=self.data_format)
             x = EqualConv2d(
                 self.out_channel,
                 self.kernel_size,
@@ -96,6 +101,7 @@ class ConvLayer(nn.Module):
                 padding=0,
                 use_bias=self.use_bias and not self.activate,
                 dtype=self.dtype,
+                data_format=self.data_format,
                 name="conv",
             )(x)
         elif self.upsample:
@@ -106,10 +112,11 @@ class ConvLayer(nn.Module):
                 padding=0,
                 use_bias=self.use_bias and not self.activate,
                 dtype=self.dtype,
+                data_format=self.data_format,
                 name="conv",
             )(x)
             pad = blur_pad_up(BLUR_KERNEL, self.kernel_size)
-            x = upfirdn2d(x, kernel * 4.0, pad=pad)  # upsample_factor**2 gain
+            x = upfirdn2d(x, kernel * 4.0, pad=pad, data_format=self.data_format)
         else:
             x = EqualConv2d(
                 self.out_channel,
@@ -118,13 +125,15 @@ class ConvLayer(nn.Module):
                 padding=(self.kernel_size - 1) // 2,
                 use_bias=self.use_bias and not self.activate,
                 dtype=self.dtype,
+                data_format=self.data_format,
                 name="conv",
             )(x)
 
         if self.activate:
+            ch_ax = -1 if self.data_format == "NHWC" else 1
             if self.use_bias:
                 bias = self.param("bias", nn.initializers.zeros, (self.out_channel,), jnp.float32)
-                x = fused_leaky_relu(x, bias.astype(x.dtype))
+                x = fused_leaky_relu(x, bias.astype(x.dtype), channel_axis=ch_ax)
             else:
                 x = scaled_leaky_relu(x)
         return x
@@ -136,19 +145,25 @@ class ResBlock(nn.Module):
     out_channel: int
     first_downsample: bool = False
     dtype: Any = jnp.float32
+    data_format: str = "NCHW"
 
     @nn.compact
     def __call__(self, x):
-        in_channel = x.shape[1]
+        df = self.data_format
+        in_channel = x.shape[3 if df == "NHWC" else 1]
         if self.first_downsample:
-            out = ConvLayer(in_channel, 3, downsample=True, dtype=self.dtype, name="conv1")(x)
-            out = ConvLayer(self.out_channel, 3, dtype=self.dtype, name="conv2")(out)
+            out = ConvLayer(in_channel, 3, downsample=True, dtype=self.dtype,
+                            data_format=df, name="conv1")(x)
+            out = ConvLayer(self.out_channel, 3, dtype=self.dtype,
+                            data_format=df, name="conv2")(out)
         else:
-            out = ConvLayer(in_channel, 3, dtype=self.dtype, name="conv1")(x)
-            out = ConvLayer(self.out_channel, 3, downsample=True, dtype=self.dtype, name="conv2")(out)
+            out = ConvLayer(in_channel, 3, dtype=self.dtype,
+                            data_format=df, name="conv1")(x)
+            out = ConvLayer(self.out_channel, 3, downsample=True, dtype=self.dtype,
+                            data_format=df, name="conv2")(out)
         skip = ConvLayer(
             self.out_channel, 1, downsample=True, activate=False, use_bias=False,
-            dtype=self.dtype, name="skip",
+            dtype=self.dtype, data_format=df, name="skip",
         )(x)
         return (out + skip) / math.sqrt(2)
 
@@ -201,6 +216,11 @@ class DiscriminatorMultiScale(nn.Module):
     use_aux_channels: bool = False
     channels_override: Optional[Dict[int, int]] = None
     dtype: Any = jnp.float32
+    # "NHWC": run the conv stack channels-last INTERNALLY (input/weights/
+    # checkpoints unchanged — one transpose at entry, one 4x4 transpose
+    # before the flatten keeps final_linear weight order NCHW-compatible).
+    # Prototype for the r256 copy tail, docs/r256_step_analysis.md.
+    data_format: str = "NCHW"
 
     def setup(self):
         # custom channel table, mirroring the reference's ``channels`` kwarg
@@ -215,7 +235,9 @@ class DiscriminatorMultiScale(nn.Module):
         self._channels = channels
         conv_in = {}
         for res in channels:
-            conv_in[str(res)] = ConvLayer(channels[res], 1, dtype=self.dtype, name=f"conv_in_{res}")
+            conv_in[str(res)] = ConvLayer(
+                channels[res], 1, dtype=self.dtype,
+                data_format=self.data_format, name=f"conv_in_{res}")
         self.conv_in = conv_in
 
         blocks = {}
@@ -224,12 +246,14 @@ class DiscriminatorMultiScale(nn.Module):
             res = 2 ** i
             blocks[str(res)] = ResBlock(
                 channels[res // 2], first_downsample=self.first_downsample,
-                dtype=self.dtype, name=f"res_{res}",
+                dtype=self.dtype, data_format=self.data_format, name=f"res_{res}",
             )
         self.blocks = blocks
 
         final_in = channels[4]
-        self.final_conv = ConvLayer(final_in, 3, dtype=self.dtype, name="final_conv")
+        self.final_conv = ConvLayer(
+            final_in, 3, dtype=self.dtype,
+            data_format=self.data_format, name="final_conv")
         self.space_linear = EqualLinear(final_in, activation=True, dtype=self.dtype, name="space_linear")
         self.out_linear = EqualLinear(1, dtype=self.dtype, name="out_linear")
 
@@ -247,6 +271,9 @@ class DiscriminatorMultiScale(nn.Module):
 
         size = x.shape[-1]
         log_size = int(math.log2(size))
+        nhwc = self.data_format == "NHWC"
+        if nhwc:  # one boundary transpose; the stack runs channels-last
+            x = x.transpose(0, 2, 3, 1)
 
         debug.trace("disc.in", x)
         out = self.conv_in[str(size)](x)
@@ -258,7 +285,12 @@ class DiscriminatorMultiScale(nn.Module):
         # (the warmup_D stages); alpha itself is traced.
         if fade_in and size > 4:
             half = size // 2
-            down = jax.image.resize(x, (x.shape[0], x.shape[1], half, half), method="bilinear")
+            if nhwc:
+                down = jax.image.resize(
+                    x, (x.shape[0], half, half, x.shape[3]), method="bilinear")
+            else:
+                down = jax.image.resize(
+                    x, (x.shape[0], x.shape[1], half, half), method="bilinear")
             down_out = self.conv_in[str(half)](down)
             out = alpha * out + (1.0 - alpha) * down_out
 
@@ -266,10 +298,14 @@ class DiscriminatorMultiScale(nn.Module):
             out = self.blocks[str(2 ** i)](out)
 
         if self.stddev_group > 0:
-            out = minibatch_stddev(out, self.stddev_group)
+            out = minibatch_stddev(out, self.stddev_group,
+                                   data_format=self.data_format)
             # NOTE: with stddev the final conv sees C+1 inputs; flax infers
             # the in-dim lazily so this is consistent per-config.
         out = self.final_conv(out)
+        if nhwc:  # 4x4 tensor: restore NCHW flatten order so space_linear
+            # weights are bit-compatible with NCHW checkpoints
+            out = out.transpose(0, 3, 1, 2)
         out = out.reshape(out.shape[0], -1)
         out = self.space_linear(out)
         out = self.out_linear(out)
@@ -281,9 +317,13 @@ class DiscriminatorMultiScale(nn.Module):
         perceptual loss (`apps/inversion.py::make_disc_percept_fn`; stands in
         for the VGG16 term of `st_web.py:66-283` in a zero-egress
         environment).  Returns the list of (b, c_i, h_i, w_i) activations
-        from the input resolution down to 4x4."""
+        from the input resolution down to 4x4 (activations follow
+        ``data_format`` internally; both sides of the perceptual loss run
+        the same module, so the layout cancels)."""
         size = x.shape[-1]
         log_size = int(math.log2(size))
+        if self.data_format == "NHWC":
+            x = x.transpose(0, 2, 3, 1)
         out = self.conv_in[str(size)](x)
         feats = []
         for i in range(log_size, 2, -1):
@@ -300,7 +340,8 @@ class DiscriminatorMultiScale(nn.Module):
         materializes a 1024x1024 tensor.
         """
         b = x4.shape[0]
-        xin = jnp.zeros((b, 3, 8, 8), x4.dtype)
+        nhwc = self.data_format == "NHWC"
+        xin = jnp.zeros((b, 8, 8, 3) if nhwc else (b, 3, 8, 8), x4.dtype)
         total = 0.0
         feats = None
         for res in sorted((int(r) for r in self.conv_in), reverse=True):
@@ -311,8 +352,11 @@ class DiscriminatorMultiScale(nn.Module):
             if res == 8:
                 feats = h  # (b, channels[4], 4, 4)
         if self.stddev_group > 0:
-            feats = minibatch_stddev(feats, self.stddev_group)
+            feats = minibatch_stddev(feats, self.stddev_group,
+                                     data_format=self.data_format)
         h = self.final_conv(feats)
+        if nhwc:
+            h = h.transpose(0, 3, 1, 2)
         h = self.space_linear(h.reshape(b, -1))
         return self.out_linear(h) + 0.0 * total
 
@@ -327,6 +371,7 @@ class DiscriminatorMultiScaleAux(nn.Module):
     stddev_group: int = 0
     channels_override: Optional[Dict[int, int]] = None
     dtype: Any = jnp.float32
+    data_format: str = "NCHW"
 
     def setup(self):
         self.main_disc = DiscriminatorMultiScale(
@@ -337,6 +382,7 @@ class DiscriminatorMultiScaleAux(nn.Module):
             stddev_group=self.stddev_group,
             channels_override=self.channels_override,
             dtype=self.dtype,
+            data_format=self.data_format,
         )
         self.aux_disc = DiscriminatorMultiScale(
             diffaug=self.diffaug,
@@ -346,6 +392,7 @@ class DiscriminatorMultiScaleAux(nn.Module):
             use_aux_channels=True,
             channels_override=self.channels_override,
             dtype=self.dtype,
+            data_format=self.data_format,
         )
 
     def __call__(

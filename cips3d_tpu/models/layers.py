@@ -261,7 +261,12 @@ class EqualLinear(nn.Module):
 
 
 class EqualConv2d(nn.Module):
-    """Equalized-lr conv, NCHW (`discriminator.py:20-54`)."""
+    """Equalized-lr conv (`discriminator.py:20-54`).
+
+    ``data_format`` selects the ACTIVATION layout only; the weight stays
+    OIHW and the bias (C,), so checkpoints are layout-agnostic (the NHWC
+    discriminator prototype loads NCHW-trained checkpoints unchanged).
+    """
 
     out_channel: int
     kernel_size: int
@@ -269,10 +274,12 @@ class EqualConv2d(nn.Module):
     padding: int = 0
     use_bias: bool = True
     dtype: Dtype = jnp.float32
+    data_format: str = "NCHW"
 
     @nn.compact
     def __call__(self, x):
-        in_channel = x.shape[1]
+        nhwc = self.data_format == "NHWC"
+        in_channel = x.shape[3 if nhwc else 1]
         k = self.kernel_size
         # OIHW, randn init, runtime scale 1/sqrt(in*k^2)
         weight = self.param(
@@ -284,11 +291,12 @@ class EqualConv2d(nn.Module):
             (weight * scale).astype(self.dtype),
             window_strides=(self.stride, self.stride),
             padding=((self.padding, self.padding), (self.padding, self.padding)),
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            dimension_numbers=(self.data_format, "OIHW", self.data_format),
         )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.out_channel,), jnp.float32)
-            y = y + bias.astype(self.dtype)[None, :, None, None]
+            b = bias.astype(self.dtype)
+            y = y + (b[None, None, None, :] if nhwc else b[None, :, None, None])
         return y
 
 
@@ -304,10 +312,12 @@ class EqualConvTranspose2d(nn.Module):
     padding: int = 0
     use_bias: bool = True
     dtype: Dtype = jnp.float32
+    data_format: str = "NCHW"
 
     @nn.compact
     def __call__(self, x):
-        in_channel = x.shape[1]
+        nhwc = self.data_format == "NHWC"
+        in_channel = x.shape[3 if nhwc else 1]
         k = self.kernel_size
         weight = self.param(
             "weight", winit.normal_kernel(1.0), (in_channel, self.out_channel, k, k), jnp.float32
@@ -324,19 +334,25 @@ class EqualConvTranspose2d(nn.Module):
             window_strides=(1, 1),
             padding=((pad, pad), (pad, pad)),
             lhs_dilation=(self.stride, self.stride),
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            dimension_numbers=(self.data_format, "OIHW", self.data_format),
         )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.out_channel,), jnp.float32)
-            y = y + bias.astype(self.dtype)[None, :, None, None]
+            b = bias.astype(self.dtype)
+            y = y + (b[None, None, None, :] if nhwc else b[None, :, None, None])
         return y
 
 
-def minibatch_stddev(x: jnp.ndarray, group_size: int = 4, num_features: int = 1) -> jnp.ndarray:
+def minibatch_stddev(x: jnp.ndarray, group_size: int = 4, num_features: int = 1,
+                     data_format: str = "NCHW") -> jnp.ndarray:
     """Append the minibatch-stddev channel (`discriminator.py:543-556`).
 
     x: (N, C, H, W) → (N, C+1, H, W).  Groups of ``min(N, group_size)``.
+    NHWC inputs round-trip through NCHW (4x4 tensors at this point — cheap).
     """
+    if data_format == "NHWC":
+        y = minibatch_stddev(x.transpose(0, 3, 1, 2), group_size, num_features)
+        return y.transpose(0, 2, 3, 1)
     n, c, h, w = x.shape
     g = min(n, group_size)
     grouped = x.reshape(g, -1, num_features, c // num_features, h, w)

@@ -24,16 +24,19 @@ def fused_leaky_relu(
     bias: jnp.ndarray | None = None,
     negative_slope: float = 0.2,
     scale: float = _SQRT2,
+    channel_axis: int = 1,
 ) -> jnp.ndarray:
     """``leaky_relu(x + bias) * scale``.
 
     ``bias`` has shape (C,); for NCHW inputs it broadcasts over the channel
-    axis (dim 1), matching `FusedLeakyReLU.forward` (`fused_act.py:38-48`).
-    For (..., C) inputs (linear layers) it broadcasts over the last axis.
+    axis (dim 1 by default; pass ``channel_axis=-1`` for NHWC), matching
+    `FusedLeakyReLU.forward` (`fused_act.py:38-48`).  For (..., C) inputs
+    (linear layers) it broadcasts over the last axis.
     """
     if bias is not None:
-        if x.ndim >= 3:  # NCHW / NCL: channel axis is dim 1
-            shape = (1, -1) + (1,) * (x.ndim - 2)
+        if x.ndim >= 3:
+            ax = channel_axis % x.ndim
+            shape = tuple(-1 if i == ax else 1 for i in range(x.ndim))
             x = x + bias.reshape(shape)
         else:
             x = x + bias

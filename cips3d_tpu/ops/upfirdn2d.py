@@ -44,15 +44,19 @@ def upfirdn2d(
     up: int = 1,
     down: int = 1,
     pad: Tuple[int, int] = (0, 0),
+    data_format: str = "NCHW",
 ) -> jnp.ndarray:
-    """Apply upfirdn to an NCHW tensor.
+    """Apply upfirdn to an NCHW (or NHWC) tensor.
 
     Matches `upfirdn2d(input, kernel, up, down, pad)` from
     `exp/comm/op/upfirdn2d.py:144-149` (same pad on both axes).
 
     Output spatial size: ``(in * up + pad0 + pad1 - kh) // down + 1``.
     """
-    return upfirdn2d_general(x, kernel, up, up, down, down, pad[0], pad[1], pad[0], pad[1])
+    return upfirdn2d_general(
+        x, kernel, up, up, down, down, pad[0], pad[1], pad[0], pad[1],
+        data_format=data_format,
+    )
 
 
 def upfirdn2d_general(
@@ -66,12 +70,17 @@ def upfirdn2d_general(
     pad_x1: int,
     pad_y0: int,
     pad_y1: int,
+    data_format: str = "NCHW",
 ) -> jnp.ndarray:
     """General form (spec: `upfirdn2d_native`, `exp/comm/op/upfirdn2d.py:152-186`).
 
-    x: (N, C, H, W); kernel: (kh, kw) applied depthwise.
+    x: (N, C, H, W) or (N, H, W, C); kernel: (kh, kw) applied depthwise.
     """
-    n, c, h, w = x.shape
+    nhwc = data_format == "NHWC"
+    if nhwc:
+        n, h, w, c = x.shape
+    else:
+        n, c, h, w = x.shape
     kh, kw = kernel.shape
 
     # Fast path: the FIR spec is concrete and separable (every blur in the
@@ -86,6 +95,16 @@ def upfirdn2d_general(
             kx = tuple(vt[0].tolist())
             my = _axis_matrix(h, ky, up_y, down_y, pad_y0, pad_y1)
             mx = _axis_matrix(w, kx, up_x, down_x, pad_x0, pad_x1)
+            if nhwc:
+                t = jnp.einsum(
+                    "oh,nhwc->nowc", jnp.asarray(my, x.dtype), x,
+                    preferred_element_type=jnp.float32,
+                )
+                out = jnp.einsum(
+                    "nowc,pw->nopc", t.astype(x.dtype), jnp.asarray(mx, x.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                return out.astype(x.dtype)
             t = jnp.einsum(
                 "oh,nchw->ncow", jnp.asarray(my, x.dtype), x,
                 preferred_element_type=jnp.float32,
@@ -95,6 +114,13 @@ def upfirdn2d_general(
                 preferred_element_type=jnp.float32,
             )
             return out.astype(x.dtype)
+
+    if nhwc:  # non-separable NHWC: route through the NCHW conv path
+        y = upfirdn2d_general(
+            x.transpose(0, 3, 1, 2), kernel, up_x, up_y, down_x, down_y,
+            pad_x0, pad_x1, pad_y0, pad_y1,
+        )
+        return y.transpose(0, 2, 3, 1)
 
     kernel = jnp.asarray(kernel, x.dtype)
     # Single-channel conv on (N*C, 1, H, W): the same FIR filter applies to

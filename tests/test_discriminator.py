@@ -147,3 +147,46 @@ class TestMultiScaleAux:
         a = m.apply(params, x, 1.0, diffaug_key=rng)
         b = m.apply(params, x, 1.0, diffaug_key=jax.random.PRNGKey(7))
         assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+class TestNHWCParity:
+    """The NHWC prototype (docs/r256_step_analysis.md copy-tail item) must be
+    bit-compatible with NCHW checkpoints: same params, same logits."""
+
+    def test_logits_match_nchw(self, ms):
+        m_nchw, params = ms
+        m_nhwc = DiscriminatorMultiScale(
+            max_size=64, channels_override=TINY, data_format="NHWC")
+        x = jax.random.normal(jax.random.PRNGKey(3), (4, 3, 16, 16))
+        for fade in (False, True):
+            a = m_nchw.apply(params, x, 0.7, fade_in=fade)
+            b = m_nhwc.apply(params, x, 0.7, fade_in=fade)
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+
+    def test_aux_and_grads_match(self, msa):
+        m_nchw, params = msa
+        m_nhwc = DiscriminatorMultiScaleAux(
+            max_size=32, channels_override=TINY, data_format="NHWC")
+        x = jax.random.normal(jax.random.PRNGKey(4), (4, 3, 16, 16))
+
+        def loss(mod, xx):
+            return jnp.mean(mod.apply(params, xx, 1.0, use_aux_disc=True) ** 2)
+
+        la, ga = jax.value_and_grad(lambda xx: loss(m_nchw, xx))(x)
+        lb, gb = jax.value_and_grad(lambda xx: loss(m_nhwc, xx))(x)
+        np.testing.assert_allclose(float(la), float(lb), rtol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(gb), rtol=2e-4, atol=2e-5)
+
+    def test_stddev_path(self):
+        m_nchw = DiscriminatorMultiScale(
+            max_size=16, stddev_group=4, channels_override=TINY)
+        params = m_nchw.init(RNG, jnp.zeros((4, 3, 8, 8)), method=m_nchw.init_all)
+        m_nhwc = DiscriminatorMultiScale(
+            max_size=16, stddev_group=4, channels_override=TINY,
+            data_format="NHWC")
+        x = jax.random.normal(jax.random.PRNGKey(5), (4, 3, 16, 16))
+        a = m_nchw.apply(params, x, 1.0)
+        b = m_nhwc.apply(params, x, 1.0)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
