@@ -182,39 +182,58 @@ def fused_inr_decode(
     L = w_all.shape[0]
     Lr = wr.shape[0]
 
-    pad = (-n) % tile
-    xp = jnp.pad(x.astype(f32), ((0, 0), (0, pad), (0, D - in0)))
-    n_pad = n + pad
+    xp = jnp.pad(x.astype(f32), ((0, 0), (0, 0), (0, D - in0)))
 
-    vspec = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
-    full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    grid_spec = pl.GridSpec(
-        grid=(b, n_pad // tile),
-        in_specs=[
-            vspec((1, tile, D), lambda bi, ti: (bi, ti, 0)),
-            full, full,
-            vspec((L, D, D), lambda *_: (0, 0, 0)),
-            vspec((Lr, D, 8), lambda *_: (0, 0, 0)),
-            full,
-        ],
-        out_specs=vspec((1, tile, 8), lambda bi, ti: (bi, ti, 0)),
+    def _call(xp, s_all, d_all, w_mm, wr_mm, br_f):
+        # Shapes are shard-local under pixel_shard_map; tile-pad per shard.
+        b_l, n_l, _ = xp.shape
+        pad = (-n_l) % tile
+        xq = jnp.pad(xp, ((0, 0), (0, pad), (0, 0)))
+        n_pad = n_l + pad
+
+        vspec = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+        full = pl.BlockSpec(memory_space=pltpu.VMEM)
+        grid_spec = pl.GridSpec(
+            grid=(b_l, n_pad // tile),
+            in_specs=[
+                vspec((1, tile, D), lambda bi, ti: (bi, ti, 0)),
+                full, full,
+                vspec((L, D, D), lambda *_: (0, 0, 0)),
+                vspec((Lr, D, 8), lambda *_: (0, 0, 0)),
+                full,
+            ],
+            out_specs=vspec((1, tile, 8), lambda bi, ti: (bi, ti, 0)),
+        )
+        out = pl.pallas_call(
+            functools.partial(
+                _inr_tile_kernel,
+                n_blocks=n_blocks, first_rgb=3, first_skip=4,
+                mm_dtype=mm_dtype,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b_l, n_pad, 8), f32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b_l * n_pad * (L * D * D + Lr * D * 8),
+                bytes_accessed=b_l * n_pad * (D + 8) * 4 + L * D * D * 2,
+                transcendentals=b_l * n_pad * 8,
+            ),
+        )(xq, s_all, d_all, w_mm, wr_mm, br_f)
+        return out[:, :n_l]
+
+    # Multi-chip: Mosaic custom calls cannot be auto-partitioned by GSPMD —
+    # wrap in shard_map under an active pixel-sharding scope (identity
+    # otherwise).  Pointwise over pixels; mods are per-batch (b, L, D).
+    from cips3d_tpu.parallel import mesh as mesh_lib
+
+    call = mesh_lib.pixel_shard_map(
+        _call, b, n,
+        in_kinds=("bp", "b", "b", "rep", "rep", "rep"),
+        out_kinds="bp",
     )
-    out = pl.pallas_call(
-        functools.partial(
-            _inr_tile_kernel,
-            n_blocks=n_blocks, first_rgb=3, first_skip=4, mm_dtype=mm_dtype,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, n_pad, 8), f32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * n_pad * (L * D * D + Lr * D * 8),
-            bytes_accessed=b * n_pad * (D + 8) * 4 + L * D * D * 2,
-            transcendentals=b * n_pad * 8,
-        ),
-    )(xp, s_all, d_all, w_all.astype(mm_dtype), wr.astype(mm_dtype),
-      br.astype(f32))
-    return out[:, :n, :3].astype(dtype)
+    out = call(xp, s_all, d_all, w_all.astype(mm_dtype), wr.astype(mm_dtype),
+               br.astype(f32))
+    return out[:, :, :3].astype(dtype)

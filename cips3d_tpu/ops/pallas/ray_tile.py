@@ -987,6 +987,26 @@ def fused_ray_render(
         jnp.dtype(mm_dtype).name, jnp.dtype(dtype).name, interpret,
         2.0 / box_sidelength, vjp_impl, tile_bwd,
     )
+    # Under a pixel-sharding scope (multi-chip training) the kernel must be
+    # explicitly shard_map'ed: GSPMD cannot auto-partition Mosaic custom
+    # calls on real TPU (found by the r512 8-chip AOT, tools/compile_r512.py).
+    # The kernel is pointwise over (batch, ray) tiles, so this is a pure
+    # grid split; weights stay replicated and their grads psum in the
+    # shard_map transpose.  Identity when no scope is active.
+    from cips3d_tpu.parallel import mesh as mesh_lib
+
+    # wt layout (see construction above): per hidden layer (w, b, g, f) with
+    # w/b replicated and the FiLM g/f per-batch (b, H); then wc, bc (rep),
+    # gc, fc (batch), wr, br, ws, bs (rep).
+    wt_kinds = tuple(
+        ["rep", "rep", "b", "b"] * L
+        + ["rep", "rep", "b", "b", "rep", "rep", "rep", "rep"]
+    )
+    core = mesh_lib.pixel_shard_map(
+        core, b, n,
+        in_kinds=(wt_kinds, "bp", "bp", "bp", "bp", "bp", "bp", "bp", "rep"),
+        out_kinds=("bp", "bp"),
+    )
     return core(
         tuple(wt), pts.astype(f32), origins.astype(f32), dirs.astype(f32),
         z_vals[..., 0].astype(f32), u.astype(f32), nc, nf, ns,

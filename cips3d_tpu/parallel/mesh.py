@@ -118,8 +118,23 @@ _PIXEL_SCOPE: Optional[dict] = None
 
 
 @contextlib.contextmanager
-def pixel_sharding_scope(mesh: Mesh, data_axis: str = "data", rays_axis: str = "rays"):
-    """Activate pixel-axis sharding for generator traces in this scope."""
+def pixel_sharding_scope(
+    mesh: Mesh,
+    data_axis: str = "data",
+    rays_axis: Optional[str] = "rays",
+):
+    """Activate pixel-axis sharding for generator traces in this scope.
+
+    ``rays_axis=None`` activates the 1-D (batch-only) form: generator
+    arrays are constrained to P(data) on dim 0 and — crucially — the fused
+    Pallas kernels inside the scope are wrapped in `shard_map` over the
+    mesh (`pixel_shard_map`).  On real multi-chip TPU GSPMD cannot
+    partition a Mosaic custom call ("Mosaic kernels cannot be
+    automatically partitioned — wrap in shard_map"), so ANY mesh-sharded
+    trace that reaches a fused kernel must run under a scope; the CPU
+    simulation only tolerates the unwrapped form because interpret-mode
+    Pallas lowers to ordinary partitionable XLA ops.
+    """
     global _PIXEL_SCOPE
     prev = _PIXEL_SCOPE
     _PIXEL_SCOPE = {"mesh": mesh, "data": data_axis, "rays": rays_axis}
@@ -162,10 +177,11 @@ def constrain_pixels(x):
         return x
     s = _PIXEL_SCOPE
     sizes = dict(zip(s["mesh"].axis_names, s["mesh"].devices.shape))
+    rays_size = sizes[s["rays"]] if s["rays"] is not None else 1
     if (
         x.ndim < 2
         or x.shape[0] % sizes[s["data"]] != 0
-        or x.shape[1] % sizes[s["rays"]] != 0
+        or x.shape[1] % rays_size != 0
     ):
         return x
     spec = P(s["data"], s["rays"], *([None] * (x.ndim - 2)))
@@ -182,8 +198,50 @@ def constrain_joint_batch(x):
     s = _PIXEL_SCOPE
     if x.shape[0] % s["mesh"].devices.size != 0:
         return x
-    spec = P((s["data"], s["rays"]), *([None] * (x.ndim - 1)))
+    joint = (s["data"], s["rays"]) if s["rays"] is not None else s["data"]
+    spec = P(joint, *([None] * (x.ndim - 1)))
     return jax.lax.with_sharding_constraint(x, NamedSharding(s["mesh"], spec))
+
+
+def pixel_shard_map(fn, b: int, n: int, in_kinds, out_kinds):
+    """Wrap a pointwise-over-(batch, pixels) kernel invocation in
+    `jax.shard_map` over the active pixel scope's mesh.
+
+    Required for the fused Pallas kernels on real multi-chip TPU: GSPMD
+    cannot auto-partition a Mosaic custom call ("Mosaic kernels cannot be
+    automatically partitioned. Please wrap the call in a shard_map" —
+    surfaced by the r512 8-chip AOT compile, tools/compile_r512.py).  The
+    kernels are pointwise over (batch, pixel) tiles, so sharding them is a
+    pure grid split: no collectives in the forward, and the backward's
+    replicated-weight cotangents get the correct mesh-wide psum from the
+    shard_map transpose of a P() input.
+
+    ``in_kinds`` / ``out_kinds``: pytrees matching fn's args / outputs with
+    string leaves — "bp" (dim 0 = batch over the data axis, dim 1 = pixels
+    over the rays axis), "b" (dim 0 = batch only), "rep" (replicated).
+
+    Identity when no scope is active or when (b, n) don't divide the mesh
+    (mirroring `constrain_pixels`' guard: such traces keep replicated
+    inputs, which Mosaic accepts on one device).
+    """
+    s = _PIXEL_SCOPE
+    if s is None:
+        return fn
+    mesh, data, rays = s["mesh"], s["data"], s["rays"]
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    rays_size = sizes[rays] if rays is not None else 1
+    if b % sizes[data] != 0 or n % rays_size != 0:
+        return fn
+
+    to_spec = {"bp": P(data, rays), "b": P(data), "rep": P()}
+    in_specs = jax.tree_util.tree_map(lambda k: to_spec[k], in_kinds)
+    out_specs = jax.tree_util.tree_map(lambda k: to_spec[k], out_kinds)
+    # check_vma=False: the kernels carry custom_vjp rules, which the
+    # replication checker does not see through.
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
 
 
 def batch_spec(mesh: Mesh) -> P:

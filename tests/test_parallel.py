@@ -179,19 +179,25 @@ class TestShardedTrainStep:
             )(s1, batch, step_key)
         ref = {k: float(v) for k, v in ref.items()}
 
+        from cips3d_tpu.parallel.mesh import pixel_sharding_scope
+
         mesh = make_mesh(4)
         for impl in ("pallas", "pallas_residual"):
             gen_f = GeneratorNerfINR(
                 cfg=dataclasses.replace(GCFG, fused_ray=True, fused_ray_vjp=impl)
             )
             state_f = init_train_state(key, gen_f, disc, cfg, OPTS)
-            step = shard_train_step(
-                make_train_step(gen_f, disc, cfg, OPTS, aux_reg=False), mesh
-            )
-            with mesh:
-                s4 = jax.device_put(state_f, replicated(mesh))
-                b = shard_batch(np.asarray(batch), mesh)
-                _, metrics = step(s4, b, step_key)
+            # The 1-D scope (rays_axis=None) routes the Pallas calls through
+            # pixel_shard_map — mandatory on real multi-chip TPU, where
+            # GSPMD cannot auto-partition Mosaic custom calls.
+            with pixel_sharding_scope(mesh, rays_axis=None):
+                step = shard_train_step(
+                    make_train_step(gen_f, disc, cfg, OPTS, aux_reg=False), mesh
+                )
+                with mesh:
+                    s4 = jax.device_put(state_f, replicated(mesh))
+                    b = shard_batch(np.asarray(batch), mesh)
+                    _, metrics = step(s4, b, step_key)
             for k in ("d_loss", "g_loss", "d_logits_fake"):
                 np.testing.assert_allclose(
                     float(metrics[k]), ref[k], rtol=3e-3, atol=3e-4,

@@ -128,19 +128,23 @@ def topology_aot(out):
     from cips3d_tpu.train.step import init_train_state, make_train_step
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    try:
-        topo = topologies.get_topology_desc(
-            "v5e-8", "tpu", topology_name="2x4,1")
-    except Exception as e:
+    topo = None
+    errs = []
+    for name in ("v5e:2x4", "v5litepod-8", "v4:2x2x1"):
         try:
-            topo = topologies.get_topology_desc("", "tpu", topology_name="2x4")
-        except Exception as e2:
-            out["topology_aot"] = {"error": f"{e} / {e2}"}
-            return
+            topo = topologies.get_topology_desc(name, "tpu")
+            out.setdefault("topology_aot", {})["topology"] = name
+            break
+        except Exception as e:
+            errs.append(f"{name}: {e}")
+    if topo is None:
+        out["topology_aot"] = {"error": " / ".join(errs)}
+        return
     devs = topo.devices
     import numpy as np
 
-    mesh = Mesh(np.array(devs).reshape(2, 4), ("data", "rays"))
+    n = len(devs)
+    mesh = Mesh(np.array(devs).reshape(2, n // 2), ("data", "rays"))
     gen, disc, tcfg, opts = build(batch=4)
     key = jax.random.PRNGKey(0)
     # abstract-init the state on CPU, then lower with shardings
@@ -164,20 +168,31 @@ def topology_aot(out):
                          out_shardings=(rep, rep))
         with mesh:
             compiled = jitted.lower(state_sds, real, key_sds).compile()
-    out["topology_aot"] = report_memory(compiled)
+    out.setdefault("topology_aot", {}).update(report_memory(compiled))
 
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--run", type=int, default=0, help="run N real steps")
     p.add_argument("--topology", action="store_true")
+    p.add_argument("--topology-only", action="store_true",
+                   help="skip the single-chip probe; merge into --json if it exists")
     p.add_argument("--json", default="")
     args = p.parse_args()
 
     out = {"devices": str(jax.devices())}
-    single_chip(args.run, out)
+    if args.topology_only:
+        args.topology = True
+        if args.json and os.path.exists(args.json):
+            with open(args.json) as f:
+                out = json.load(f)
+    else:
+        single_chip(args.run, out)
     if args.topology:
-        topology_aot(out)
+        try:
+            topology_aot(out)
+        except Exception as e:  # best-effort: keep the single-chip numbers
+            out["topology_aot"] = {"error": repr(e)}
     print(json.dumps(out, indent=2))
     if args.json:
         with open(args.json, "w") as f:
