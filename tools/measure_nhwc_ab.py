@@ -15,9 +15,12 @@ Usage:  python tools/measure_nhwc_ab.py [batch] [K] [n_calls]
 """
 
 import json
+import os
 import statistics
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
