@@ -217,7 +217,14 @@ def render_sharded(
         depth = depth.transpose(0, 2, 1).reshape(b, 1, h, w)
         return img, depth
 
-    with mesh:
+    # Trace under a batch-unsharded pixel scope so any fused Pallas kernels
+    # (the serving defaults: fused_ray + fused_inr) are shard_map-wrapped —
+    # GSPMD cannot auto-partition Mosaic custom calls on real multi-chip
+    # TPU, so constraint-only sharding would fail to compile there
+    # (parallel/mesh.pixel_shard_map).
+    from cips3d_tpu.parallel.mesh import pixel_sharding_scope
+
+    with pixel_sharding_scope(mesh, data_axis=None, rays_axis=axis), mesh:
         img, depth = _render(params, style_dict, key)
     if return_depth:
         return img, depth

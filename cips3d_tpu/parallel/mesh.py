@@ -120,16 +120,21 @@ _PIXEL_SCOPE: Optional[dict] = None
 @contextlib.contextmanager
 def pixel_sharding_scope(
     mesh: Mesh,
-    data_axis: str = "data",
+    data_axis: Optional[str] = "data",
     rays_axis: Optional[str] = "rays",
 ):
     """Activate pixel-axis sharding for generator traces in this scope.
 
-    ``rays_axis=None`` activates the 1-D (batch-only) form: generator
-    arrays are constrained to P(data) on dim 0 and — crucially — the fused
-    Pallas kernels inside the scope are wrapped in `shard_map` over the
-    mesh (`pixel_shard_map`).  On real multi-chip TPU GSPMD cannot
-    partition a Mosaic custom call ("Mosaic kernels cannot be
+    Either axis may be ``None`` to leave that dim unsharded:
+
+    * ``rays_axis=None`` — the 1-D (batch-only) training form: generator
+      arrays are constrained to P(data) on dim 0.
+    * ``data_axis=None`` — the serving form (`apps/render.render_sharded`):
+      batch replicated, the pixel axis sharded for huge-image rendering.
+
+    Crucially, the fused Pallas kernels inside the scope are wrapped in
+    `shard_map` over the mesh (`pixel_shard_map`).  On real multi-chip TPU
+    GSPMD cannot partition a Mosaic custom call ("Mosaic kernels cannot be
     automatically partitioned — wrap in shard_map"), so ANY mesh-sharded
     trace that reaches a fused kernel must run under a scope; the CPU
     simulation only tolerates the unwrapped form because interpret-mode
@@ -177,10 +182,11 @@ def constrain_pixels(x):
         return x
     s = _PIXEL_SCOPE
     sizes = dict(zip(s["mesh"].axis_names, s["mesh"].devices.shape))
+    data_size = sizes[s["data"]] if s["data"] is not None else 1
     rays_size = sizes[s["rays"]] if s["rays"] is not None else 1
     if (
         x.ndim < 2
-        or x.shape[0] % sizes[s["data"]] != 0
+        or x.shape[0] % data_size != 0
         or x.shape[1] % rays_size != 0
     ):
         return x
@@ -196,9 +202,14 @@ def constrain_joint_batch(x):
     if _PIXEL_SCOPE is None or x is None:
         return x
     s = _PIXEL_SCOPE
-    if x.shape[0] % s["mesh"].devices.size != 0:
+    axes = tuple(a for a in (s["data"], s["rays"]) if a is not None)
+    if not axes:
         return x
-    joint = (s["data"], s["rays"]) if s["rays"] is not None else s["data"]
+    sizes = dict(zip(s["mesh"].axis_names, s["mesh"].devices.shape))
+    total = int(np.prod([sizes[a] for a in axes]))
+    if x.shape[0] % total != 0:
+        return x
+    joint = axes if len(axes) > 1 else axes[0]
     spec = P(joint, *([None] * (x.ndim - 1)))
     return jax.lax.with_sharding_constraint(x, NamedSharding(s["mesh"], spec))
 
@@ -229,11 +240,12 @@ def pixel_shard_map(fn, b: int, n: int, in_kinds, out_kinds):
         return fn
     mesh, data, rays = s["mesh"], s["data"], s["rays"]
     sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    data_size = sizes[data] if data is not None else 1
     rays_size = sizes[rays] if rays is not None else 1
-    if b % sizes[data] != 0 or n % rays_size != 0:
+    if b % data_size != 0 or n % rays_size != 0:
         return fn
 
-    to_spec = {"bp": P(data, rays), "b": P(data), "rep": P()}
+    to_spec = {"bp": P(data, rays), "b": P(data) if data else P(), "rep": P()}
     in_specs = jax.tree_util.tree_map(lambda k: to_spec[k], in_kinds)
     out_specs = jax.tree_util.tree_map(lambda k: to_spec[k], out_kinds)
     # check_vma=False: the kernels carry custom_vjp rules, which the

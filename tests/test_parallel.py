@@ -73,6 +73,29 @@ class TestRaySharding:
         np.testing.assert_allclose(np.asarray(img8), np.asarray(img1), atol=1e-5)
         np.testing.assert_allclose(np.asarray(d8), np.asarray(d1), atol=1e-5)
 
+    def test_render_sharded_fused_kernels(self):
+        """The serving defaults (fused_ray + fused_inr) through the
+        pixel-sharded mesh: render_sharded activates a batch-unsharded
+        pixel scope so the Mosaic kernels are shard_map-wrapped (GSPMD
+        cannot auto-partition them on real multi-chip TPU).  8-way shard
+        must equal the single-device run."""
+        from cips3d_tpu.apps.render import render_sharded
+        from cips3d_tpu.models.generator import sample_zs
+
+        cfg = dataclasses.replace(GCFG, fused_ray=True, fused_inr=True)
+        gen = GeneratorNerfINR(cfg=cfg)
+        key = jax.random.PRNGKey(0)
+        zs = sample_zs(jax.random.PRNGKey(1), 2, cfg)
+        params = gen.init(key, zs, key, OPTS)
+        styles = gen.apply(params, zs["z_nerf"], zs["z_inr"], method=gen.mapping)
+
+        cam = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (2, 1))
+        kw = dict(camera_pos=cam, camera_lookup=-cam)
+        img8 = render_sharded(params, gen, styles, OPTS, key, make_mesh(8), **kw)
+        img1 = render_sharded(params, gen, styles, OPTS, key, make_mesh(1), **kw)
+        assert img8.shape == (2, 3, 8, 8)
+        np.testing.assert_allclose(np.asarray(img8), np.asarray(img1), atol=1e-5)
+
     def test_render_sharded_rays_axis_of_2d_mesh(self):
         from cips3d_tpu.apps.render import render_sharded
         from cips3d_tpu.models.generator import sample_zs
