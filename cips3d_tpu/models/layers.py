@@ -95,8 +95,11 @@ class FiLMSineLayer(nn.Module):
     freq_init: float = 25.0
     gain_scale: float = 15.0
     gain_bias: float = 30.0
-    # inference speed knob: polynomial sine (ops/fast_sin.py) — max abs err
-    # 1.7e-5, below an 8-bit pixel level; keep exact sin for training
+    # polynomial sine (ops/fast_sin.py) — max abs err 1.7e-5, below an
+    # 8-bit pixel level.  Shipped flagship TRAINING default since round 5:
+    # the f32-internal range-reduction fix closed the round-2 quality gap
+    # and the 10k-step A/B now favors fast_sin on both quality and
+    # throughput (docs/sin_ab_r4/REPORT.md).
     fast_sin: bool = False
     dtype: Dtype = jnp.float32
 
