@@ -336,6 +336,20 @@ def train(
             # activates the constrain_pixels/constrain_joint_batch
             # annotations inside every generator/step trace below
             _scope.enter_context(pixel_sharding_scope(mesh))
+        elif mesh.devices.size > 1:
+            # MULTI-chip 1-D data-parallel training must ALSO trace under
+            # the scope: the scope is what routes the fused Pallas kernels
+            # through `pixel_shard_map`, and on real multi-chip TPU GSPMD
+            # cannot partition a Mosaic custom call at all ("Mosaic kernels
+            # cannot be automatically partitioned — wrap in shard_map").
+            # With the shipped defaults (fast_sin ⇒ fused D-phase ray-tile
+            # + fused_dphase_inr) an unscoped multi-chip trace therefore
+            # fails to compile on hardware — invisible on the CPU sim,
+            # where interpret-mode Pallas lowers to partitionable XLA ops
+            # (same 1-D form as `__graft_entry__.dryrun_multichip`).  On a
+            # single device GSPMD never partitions, so the scope stays off
+            # and the single-chip program remains exactly the measured one.
+            _scope.enter_context(pixel_sharding_scope(mesh, rays_axis=None))
         if resume or finetune_dir or load_nerf_ema:
             # loaded host arrays (numpy, identical on every process) re-enter
             # the replicated layout through jit

@@ -118,6 +118,15 @@ def make_train_step(
         # must not raise about a knob the user never set (a depth-0 fast_sin
         # config silently keeps the XLA D-phase, as it did pre-auto-pick)
         d_cfg_overrides["fused_ray"] = True
+    elif cfg.fused_dphase and generator.cfg.nerf_hidden_layers < 1:
+        # EXPLICIT fused_dphase=true must not silently downgrade — only the
+        # auto-pick (None) is allowed to fall back, else an A/B that flips
+        # this flag on a depth-0 config measures two identical programs
+        raise ValueError(
+            "fused_dphase=True requires nerf_hidden_layers >= 1 (the fused "
+            "ray-tile kernel has no depth-0 form); unset it (auto) or use "
+            "the XLA D-phase"
+        )
     if cfg.fused_dphase_inr and generator.cfg.inr_pre_rgb_dim == 3:
         # forward-only fused INR decode: fine here because the D-phase
         # fakes are stop-gradient (no backward reaches the kernel)

@@ -45,6 +45,17 @@ def _fabricate(tmp_path, shipped_level):
     return root, ab
 
 
+def test_missing_exact_curve_is_fatal(tmp_path):
+    """A missing exact-leg curve must hard-fail: exiting 0 without it would
+    report collector success with the pre-registered gate silently
+    unapplied (SUMMARY.json written with no gate_pass key)."""
+    root, ab = _fabricate(tmp_path, shipped_level=0.032)
+    os.remove(str(ab / "fid_exact.log"))
+    r = _run(root, tmp_path / "docs_out", ab)
+    assert r.returncode != 0
+    assert "fid_exact.log" in (r.stderr + r.stdout)
+
+
 def test_gate_pass(tmp_path):
     root, ab = _fabricate(tmp_path, shipped_level=0.032)
     out = tmp_path / "docs_out"

@@ -172,6 +172,48 @@ def test_ray_shards_loop(data_zip, tmp_path):
     assert steps == [1, 2, 3, 4]
 
 
+def test_multidevice_1d_wraps_fused_kernels(data_zip, tmp_path, monkeypatch):
+    """Multi-device 1-D data-parallel training must trace under the pixel
+    scope so the fused Pallas kernels go through `pixel_shard_map`: on real
+    multi-chip TPU GSPMD cannot partition a Mosaic custom call ("Mosaic
+    kernels cannot be automatically partitioned — wrap in shard_map"), so
+    an unscoped trace compiles on the CPU sim (interpret-mode Pallas) but
+    fails on hardware.  Shipped defaults hit this: fast_sin auto-picks the
+    fused D-phase ray-tile kernel (train/step.py).  Regression test for the
+    round-5 fix (loop.py entered the scope only when ray_shards > 1)."""
+    from cips3d_tpu.parallel import mesh as mesh_lib
+
+    calls = []
+    orig = mesh_lib.pixel_shard_map
+
+    def spy(fn, b, n, in_kinds, out_kinds):
+        wrapped = orig(fn, b, n, in_kinds, out_kinds)
+        calls.append({"scope": mesh_lib.pixel_scope_active(),
+                      "wrapped": wrapped is not fn})
+        return wrapped
+
+    monkeypatch.setattr(mesh_lib, "pixel_shard_map", spy)
+
+    gcfg = dataclasses.replace(GCFG, fast_sin=True)  # => fused D-phase
+    tcfg = TrainConfig(
+        img_size=8, batch_size=1, grad_points=None, total_iters=2,
+        ema_start_itr=1,
+    )
+    opts = RenderOptions(img_size=8, num_steps=3)
+    lcfg = LoopConfig(
+        outdir=str(tmp_path / "run_1d_fused"), data_path=data_zip,
+        log_every=1, eval_every=2, fixed_z_bs=2, num_workers=1, debug=True,
+    )
+    state = train(gcfg, tcfg, opts, lcfg,
+                  disc_kwargs={"max_size": 16, "channels_override": TINY},
+                  n_devices=2)
+    assert int(state.step) == 2
+    # the fused D-phase kernel was invoked under an ACTIVE scope and
+    # actually shard_map-wrapped (not the identity fallback)
+    assert calls, "fused kernel path never invoked — auto-pick regressed?"
+    assert any(c["scope"] and c["wrapped"] for c in calls), calls
+
+
 def test_monitor_failure_escalation(data_zip, tmp_path, monkeypatch):
     """Monitor failures are counted, logged to MONITOR_FAILURES.log, and
     escalate to a hard error after 3 consecutive evals (a silent one-line

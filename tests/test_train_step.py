@@ -139,6 +139,23 @@ class TestClipGuard:
         np.testing.assert_allclose(np.asarray(clipped["w"]), 0.1, rtol=1e-5)
 
 
+def test_explicit_fused_dphase_depth0_raises():
+    """An EXPLICIT fused_dphase=True on a depth-0 generator must raise (the
+    fused ray-tile kernel has no depth-0 form) — only the auto-pick (None)
+    may silently keep the XLA D-phase, else an A/B over this flag on such a
+    config measures two identical programs."""
+    gcfg = dataclasses.replace(GCFG, nerf_hidden_layers=0, fast_sin=True)
+    gen = GeneratorNerfINR(cfg=gcfg)
+    disc = DiscriminatorMultiScaleAux(max_size=16, channels_override=TINY)
+    # auto (None): silently keeps XLA — must NOT raise
+    make_train_step(gen, disc, TCFG, OPTS, aux_reg=False)
+    with pytest.raises(ValueError, match="nerf_hidden_layers"):
+        make_train_step(
+            gen, disc, dataclasses.replace(TCFG, fused_dphase=True),
+            OPTS, aux_reg=False,
+        )
+
+
 def test_fused_dphase_inr_matches():
     """TrainConfig.fused_dphase_inr routes the D-phase fake generation's INR
     decode through the fused Pallas kernel (forward-only — legal because the

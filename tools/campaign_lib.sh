@@ -24,12 +24,18 @@ acquire_campaign_lock() {
       echo "[campaign] another instance (pid $holder) owns $RES — refusing to double-launch" >&2
       exit 1
     fi
-    # stale reclaim must go back through the atomic mkdir: two launchers
-    # that both observe the dead pid would otherwise both fall through and
-    # double-launch (advisor round-4 TOCTOU finding) — only the mkdir
-    # winner proceeds
+    # stale reclaim must itself be atomic: `rm -rf` then mkdir is not — a
+    # second launcher's rm could delete the FIRST reclaimer's fresh lock
+    # after its mkdir won, and both would proceed (the round-4 TOCTOU in a
+    # new spot).  mv(rename) of the stale dir is atomic: exactly one
+    # launcher's mv succeeds, it alone retries the mkdir; every other
+    # launcher's mv fails (ENOENT) and it exits.
     echo "[campaign] reclaiming stale lock (pid ${holder:-?} is dead)"
-    rm -rf "$lock"
+    if ! mv "$lock" "$lock.stale.$$" 2>/dev/null; then
+      echo "[campaign] lost the reclaim race for $RES — refusing to double-launch" >&2
+      exit 1
+    fi
+    rm -rf "$lock.stale.$$"
     if ! mkdir "$lock" 2>/dev/null; then
       echo "[campaign] lost the reclaim race for $RES — refusing to double-launch" >&2
       exit 1

@@ -75,6 +75,14 @@ def main():
         src = os.path.join(args.ab_dir, f"fid_{leg}.log")
         if os.path.exists(src):
             curves[leg] = read_log(src)
+    if "exact" not in curves:
+        # the exact curve IS the pre-registered gate threshold — exiting 0
+        # without it would report collector success with the gate silently
+        # unapplied (gate_pass absent from SUMMARY.json)
+        raise SystemExit(
+            f"missing {os.path.join(args.ab_dir, 'fid_exact.log')} — cannot "
+            "apply the pre-registered gate (wrong --ab-dir?)"
+        )
 
     def med(v):
         v = sorted(v)
